@@ -1,0 +1,107 @@
+"""Gradient checks (SURVEY.md §4 item 2): oracle autodiff vs central finite
+differences on scalar scene parameters, on tiny images so FD is tractable.
+These pin the gradient ground truth that the hand-derived Pallas backward
+kernels must later match."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpurt.ref import render_ref
+from tpurt.scene import configs
+
+
+def _fd_check(loss_fn, x0, eps, rtol, atol=1e-4):
+    g = jax.grad(loss_fn)(x0)
+    fd = (loss_fn(x0 + eps) - loss_fn(x0 - eps)) / (2 * eps)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(fd), rtol=rtol, atol=atol)
+
+
+def test_grad_light_intensity_config2():
+    scene, cfg = configs.config2_cornell(16, 16)
+
+    def loss(scale):
+        s = dataclasses.replace(scene, light_color=scene.light_color * scale)
+        return jnp.sum(render_ref(s, config=cfg))
+
+    _fd_check(loss, jnp.float32(1.0), 1e-3, rtol=2e-2)
+    # brighter light → brighter image (until clamp): gradient positive
+    assert float(jax.grad(loss)(jnp.float32(1.0))) > 0
+
+
+def test_grad_albedo_config2():
+    scene, cfg = configs.config2_cornell(16, 16)
+
+    def loss(scale):
+        mats = dataclasses.replace(scene.materials, kd=scene.materials.kd * scale)
+        s = dataclasses.replace(scene, materials=mats)
+        img = render_ref(s, config=cfg)
+        return jnp.sum(img**2)
+
+    _fd_check(loss, jnp.float32(0.9), 1e-3, rtol=2e-2)
+
+
+def test_grad_sphere_radius_config3():
+    """Autodiff differentiates shading at *fixed* hit topology (SURVEY.md §7
+    piecewise-constant-visibility convention); FD only agrees on pixels whose
+    topology is constant under the perturbation, so mask to those and use
+    depth 0 / no shadows (reflection & occlusion flips are also topology)."""
+    from tpurt.core import geom
+
+    scene, cfg = configs.config3_spheres(24, 24)
+    cfg = cfg.replace(max_depth=0, shadows=False)
+    eps = 1e-3
+    o, d = geom.generate_rays(scene.camera, cfg.height, cfg.width)
+
+    def topo(dr):
+        s = dataclasses.replace(scene, sph_radius=scene.sph_radius + dr)
+        rec = geom.closest_hit(s, o, d)
+        return np.asarray(rec["hit"]), np.asarray(rec["is_tri"]), np.asarray(rec["prim"])
+
+    hp, ip_, pp = topo(np.float32(2 * eps))
+    hm, im, pm = topo(np.float32(-2 * eps))
+    mask = jnp.asarray((hp == hm) & (ip_ == im) & (pp == pm), jnp.float32)[..., None]
+
+    def loss(dr):
+        s = dataclasses.replace(scene, sph_radius=scene.sph_radius + dr)
+        return jnp.sum(render_ref(s, config=cfg) * mask)
+
+    _fd_check(loss, jnp.float32(0.0), eps, rtol=5e-2, atol=1e-2)
+
+
+def test_grad_sphere_center_finite():
+    scene, cfg = configs.config3_spheres(16, 16)
+    cfg = cfg.replace(max_depth=1)
+
+    def loss(centers):
+        s = dataclasses.replace(scene, sph_center=centers)
+        return jnp.sum(render_ref(s, config=cfg))
+
+    g = jax.grad(loss)(scene.sph_center)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0  # gradients actually flow
+
+
+def test_grad_vertices_config4():
+    scene, cfg = configs.config4_bunny(16, 16, subdiv=1)
+
+    def loss(verts):
+        s = dataclasses.replace(scene, vertices=verts)
+        return jnp.sum(render_ref(s, config=cfg))
+
+    g = jax.grad(loss)(scene.vertices)
+    assert np.isfinite(np.asarray(g)).all()
+    assert np.abs(np.asarray(g)).max() > 0
+
+
+def test_grad_no_nans_all_targets_config3():
+    scene, cfg = configs.config3_spheres(12, 12)
+
+    def loss(s):
+        return jnp.sum(render_ref(s, config=cfg))
+
+    grads = jax.grad(loss, allow_int=True)(scene)
+    for leaf in jax.tree_util.tree_leaves(grads):
+        if np.issubdtype(np.asarray(leaf).dtype, np.floating):
+            assert np.isfinite(np.asarray(leaf)).all()
