@@ -23,18 +23,25 @@ from tpurt.core import vec
 # ---------------------------------------------------------------------------
 # R1: camera ray generation (pinhole; conventions in tpurt/constants.py)
 # ---------------------------------------------------------------------------
-def generate_rays(camera, height: int, width: int):
+def generate_rays(camera, height: int, width: int, row0=0, nrows=None):
     """Primary rays through every pixel center.
 
-    Returns (origins, directions): ((H, W, 3), (H, W, 3)); directions unit.
-    Row 0 is the top of the image; pixel centers at (j+0.5, i+0.5).
+    Returns (origins, directions): ((nrows, W, 3), (nrows, W, 3)); directions
+    unit.  Row 0 is the top of the image; pixel centers at (j+0.5, i+0.5).
+    `row0`/`nrows` select a horizontal slab of the full image — the shard_map
+    tile path passes each device its own slab (row0 may be traced; nrows is
+    static).  NDC is always computed against the FULL image height so a
+    sharded render is pixel-identical to a single-device one.
     """
+    if nrows is None:
+        nrows = height
     fwd, right, true_up = camera.basis()
     aspect = width / height
     half_h = jnp.tan(camera.fov_y * 0.5)
     half_w = half_h * aspect
 
-    i = (jnp.arange(height, dtype=C.DTYPE) + 0.5) / height  # rows, top→bottom
+    rows = row0 + jnp.arange(nrows, dtype=C.DTYPE)
+    i = (rows + 0.5) / height                               # rows, top→bottom
     j = (jnp.arange(width, dtype=C.DTYPE) + 0.5) / width    # cols, left→right
     # NDC in [-1, 1]; +y is up, so row 0 (top) maps to +1.
     sx = (2.0 * j - 1.0) * half_w            # (W,)

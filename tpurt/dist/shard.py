@@ -1,0 +1,94 @@
+"""Tile-parallel distributed rendering over a jax.sharding.Mesh.
+
+The reference is single-device / single-process with zero inter-device
+communication (SURVEY.md §2b [ARCHETYPE]); this module is the new build's
+first-class scaling layer (BASELINE.json:5): the image is split into
+horizontal row-slabs, one per device, via `shard_map`; the scene is
+replicated (scene-sharding for >HBM scenes is a v2 axis, SURVEY.md §5).
+Gradients of replicated scene parameters are all-reduced by the `psum` XLA
+inserts when differentiating through shard_map — over ICI within a slice and
+DCN across hosts, with no NCCL/MPI anywhere.
+
+Multi-host: every host runs the same program on the same global mesh
+(jax.distributed.initialize() in the CLI); nothing here is host-count aware.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpurt.core import geom
+from tpurt.core.types import RenderConfig
+from tpurt.ref import oracle
+
+TILE_AXIS = "tiles"
+
+
+def make_mesh(n_devices: int | None = None, axis: str = TILE_AXIS) -> Mesh:
+    """1-D device mesh over the first `n_devices` (default: all)."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.asarray(devs), (axis,))
+
+
+def render_rows(scene, config: RenderConfig, row0, nrows: int):
+    """Render a horizontal slab [row0, row0+nrows) of the full image.
+
+    The single-device building block shared by every parallel layout; row0
+    may be a traced value (device-dependent), nrows is static.  Dispatches
+    to the pallas megakernel or the oracle per config.backend.
+    """
+    from tpurt.render import _resolve_backend
+
+    backend = _resolve_backend(config)
+    if backend == "pallas":
+        from tpurt.kernels import megakernel
+
+        return megakernel.render_rows_pallas(scene, config, row0, nrows)
+    o, d = geom.generate_rays(scene.camera, config.height, config.width, row0, nrows)
+    colors = oracle.trace_rays(
+        scene,
+        o.reshape(-1, 3),
+        d.reshape(-1, 3),
+        max_depth=config.max_depth,
+        shadows=config.shadows,
+    )
+    return colors.reshape(nrows, config.width, 3)
+
+
+def _rows_per_device(height: int, n: int) -> int:
+    if height % n != 0:
+        raise ValueError(
+            f"image height {height} must be divisible by mesh size {n} "
+            f"(pad the image or choose a different tile split)"
+        )
+    return height // n
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXIS):
+    """Render the full image tile-parallel over `mesh`.
+
+    Scene replicated, image row-sharded across `axis`.  Pixel-identical to
+    the single-device render (each slab computes NDC against the full image
+    height) — the determinism property SURVEY.md §4 item 4 tests.
+    """
+    n = mesh.shape[axis]
+    nrows = _rows_per_device(config.height, n)
+
+    def tile_fn(s):
+        row0 = lax.axis_index(axis) * nrows
+        return render_rows(s, config, row0, nrows)
+
+    return jax.shard_map(
+        tile_fn,
+        mesh=mesh,
+        in_specs=(P(),),
+        out_specs=P(axis, None, None),
+    )(scene)

@@ -1,0 +1,59 @@
+"""Inverse-rendering training step: the framework's "train()" analogue.
+
+The reference has no training loop (forward renderer only, SURVEY.md §3a);
+differentiability is a new-build requirement (BASELINE.json:5).  The
+canonical optimization demo — and the program `__graft_entry__.
+dryrun_multichip` compiles over the device mesh — is gradient descent of a
+pixel L2 loss against a target image, with gradients flowing to every float
+scene parameter and all-reduced across the tile mesh by the psum autodiff
+inserts for the replicated scene.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpurt.core.types import RenderConfig
+from tpurt.dist.shard import TILE_AXIS, render_sharded
+
+
+def sgd_update(scene, grads, lr):
+    """SGD on every float leaf of the scene; int/index leaves pass through.
+    (orbax/npz checkpointing of this pytree: tpurt.utils.checkpoint.)"""
+
+    def upd(p, g):
+        if g is None or not jnp.issubdtype(jnp.asarray(p).dtype, jnp.floating):
+            return p
+        g = jnp.asarray(g)
+        if g.dtype == jax.dtypes.float0:  # int-leaf cotangent
+            return p
+        return p - lr * g
+
+    return jax.tree_util.tree_map(upd, scene, grads)
+
+
+def make_train_step(config: RenderConfig, mesh=None, axis: str = TILE_AXIS):
+    """Build a jitted train step `(scene, target, lr) -> (scene', loss)`.
+
+    `mesh=None` renders single-device; with a mesh, rendering is
+    tile-parallel via shard_map and scene-parameter gradients are globally
+    correct (psum over the mesh).
+    """
+
+    def loss_fn(scene, target):
+        if mesh is None:
+            from tpurt.render import render
+
+            img = render(scene, config)
+        else:
+            img = render_sharded(scene, config, mesh, axis)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(scene, target, lr):
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(scene, target)
+        return sgd_update(scene, grads, lr), loss
+
+    return step
