@@ -15,8 +15,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
+
+# persistent compilation cache: Mosaic compiles of the megakernel take
+# 1–6 min via the remote-compile relay; cache them across processes
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpurt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def count_rays(cfg, scene) -> int:
@@ -57,21 +63,32 @@ def main():
 
         fn = jax.jit(lambda s: jax.grad(loss, allow_int=True)(s))
 
+    import numpy as np
+
+    def fetch(x):
+        # force a real device→host sync: over the axon relay,
+        # block_until_ready alone has been observed to return early.
+        # Slice ONE element on-device first — fetching the full result would
+        # time the tunnel, not the chip.
+        leaf = jax.tree_util.tree_leaves(x)[0]
+        return np.asarray(leaf[(0,) * leaf.ndim])
+
     t0 = time.time()
-    jax.block_until_ready(fn(scene))
+    fetch(fn(scene))
     print(f"[bench] compile+first: {time.time() - t0:.1f}s", file=sys.stderr)
     for _ in range(args.warmup - 1):
-        jax.block_until_ready(fn(scene))
+        fetch(fn(scene))
 
-    times = []
+    # chained iterations, one sync at the end: amortizes host/relay latency
+    t0 = time.time()
+    out = None
     for _ in range(args.iters):
-        t0 = time.time()
-        jax.block_until_ready(fn(scene))
-        times.append(time.time() - t0)
-    dt = min(times)
+        out = fn(scene)
+    fetch(out)
+    dt = (time.time() - t0) / args.iters
     rays = count_rays(cfg, scene)
     mrays = rays / dt / 1e6
-    print(f"[bench] per-iter times: {[f'{t:.3f}' for t in times]}", file=sys.stderr)
+    print(f"[bench] {dt*1e3:.2f} ms/frame over {args.iters} chained iters", file=sys.stderr)
 
     print(
         json.dumps(

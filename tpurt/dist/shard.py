@@ -46,7 +46,7 @@ def render_rows(scene, config: RenderConfig, row0, nrows: int):
     """
     from tpurt.render import _resolve_backend
 
-    backend = _resolve_backend(config)
+    backend = _resolve_backend(config, scene)
     if backend == "pallas":
         from tpurt.kernels import megakernel
 
@@ -91,4 +91,8 @@ def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXI
         mesh=mesh,
         in_specs=(P(),),
         out_specs=P(axis, None, None),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # skip the vma check (correctness is covered by the sharded-vs-
+        # single-device parity tests)
+        check_vma=False,
     )(scene)

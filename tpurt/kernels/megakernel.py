@@ -1,0 +1,488 @@
+"""Fused Pallas forward/backward megakernels (single chip).
+
+TPU-native redesign of the reference's per-pixel OpenCL device kernel
+(SURVEY.md §1a "Device kernels", §3a Entry 2; provenance BASELINE.json:5):
+ray-gen → intersect-all → Phong shade → shadow rays → iterative Whitted
+reflection loop, fused into ONE kernel launch per image tile.
+
+Design (see also tpurt/kernels/pack.py):
+
+* Rays ride in LANES: each grid step owns RAYS flat pixels; every per-ray
+  quantity is a (k, RAYS) row-stack.  No scalar per-ray control flow exists
+  anywhere — misses are masked lanes, exactly the VPU-friendly shape.
+* Intersection runs on the MXU: `dot_general(w_block (8, 6·128), X (8, R))`
+  evaluates all six Baldwin–Weber linear forms of 128 triangles against all
+  rays at once; the VPU epilogue turns forms into (t, u, v, hit) and a
+  cross-sublane min picks the winner.  Spheres use the same scheme with two
+  columns.  This replaces the reference's per-thread Möller–Trumbore loop
+  with batched matmuls — the TPU-idiomatic formulation.
+* Winning-primitive attributes are fetched by one-hot MXU matmul
+  (`onehot (128, R)ᵀ·attrs (128, ACOLS)`), never by gather.
+* Backward is a second Pallas kernel registered via `jax.custom_vjp`: it
+  REPLAYS the tile computation (recompute-from-nothing — the tape is empty,
+  cheaper than materializing per-pair intermediates in HBM) under `jax.vjp`
+  at trace time, then accumulates PackedScene cotangents across the
+  sequential grid into single output blocks.  The differentiable host-side
+  packing (pack.py) chain-rules those into vertex/normal/material/light/
+  camera gradients (BASELINE.json:5).  Backward tiles are narrower
+  (RAYS_BWD) to keep the transposed live set inside VMEM.
+
+Phase-1 scope: whole scene resident in VMEM (≲ 4k primitives — configs 1–3
+and unit scenes); textures unsupported (render falls back to the oracle).
+The cluster-streaming path for 70k–1M tris is tpurt/kernels/clusters.py.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpurt import constants as C
+from tpurt.kernels import pack as PK
+from tpurt.kernels.pack import PackedScene, pack_scene
+
+RAYS = 1024        # forward tile width (flat pixels per grid step)
+RAYS_BWD = 256     # backward tile width (transposed live-set must fit VMEM)
+LANES = PK.LANES
+
+_F32_MAX_PRIMS = 4096  # phase-1 all-in-VMEM limit per primitive type
+
+
+def _interpret() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+# ---------------------------------------------------------------------------
+# the tile program: pure jnp on values, shared verbatim by fwd and bwd
+#
+# Vec3s are python TUPLES of (1, R) rows — never (3, R) arrays: Mosaic keeps
+# every component in its own zero-offset (sublane, lane) tile, avoiding both
+# the 8/3 sublane padding of a (3, R) layout and the unsupported
+# small-vector concatenates that stacking would require.
+# ---------------------------------------------------------------------------
+def _dot3(a, b):
+    return a[0] * b[0] + a[1] * b[1] + a[2] * b[2]         # → (1, R)
+
+
+def _scale3(a, s):
+    return (a[0] * s, a[1] * s, a[2] * s)
+
+
+def _add3(a, b):
+    return (a[0] + b[0], a[1] + b[1], a[2] + b[2])
+
+
+def _sub3(a, b):
+    return (a[0] - b[0], a[1] - b[1], a[2] - b[2])
+
+
+def _neg3(a):
+    return (-a[0], -a[1], -a[2])
+
+
+def _where3(m, a, b):
+    return tuple(jnp.where(m, x, y) for x, y in zip(a, b))
+
+
+def _normalize3(a):
+    s = lax.rsqrt(_dot3(a, a) + C.NORMALIZE_EPS)
+    return _scale3(a, s)
+
+
+def _reflect3(d, n):
+    return _sub3(d, _scale3(n, 2.0 * _dot3(d, n)))
+
+
+def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
+    """Render RAYS_ flat pixels starting at pix0 (traced i32 scalar).
+
+    glob (1, NGLOB) f32; wtri (8, 6·T_pad); wsph (8, 2·S_pad);
+    attrs (T_pad + S_pad, ACOLS).  Returns colors (3, R).
+    statics: (H, W, max_depth, shadows, nb_t, nb_s, n_lights, R).
+    """
+    H, W, max_depth, shadows, nb_t, nb_s, n_lights, R = statics
+    f32 = jnp.float32
+    t_pad = nb_t * LANES
+
+    # global scalars are extracted by masked lane-reduction, not by lane
+    # slicing: a (1,1) slice at lane offset k produces an offset vector
+    # layout Mosaic cannot always re-pack ("offset mismatch on non-concat
+    # dimension"); the reduction yields a clean zero-offset (1,1) value and
+    # keeps the vjp path to `glob` intact.
+    lane_g = lax.broadcasted_iota(jnp.int32, glob.shape, 1)
+
+    def g(k):  # (1,1) global scalar — broadcasts against (1,R)
+        return jnp.sum(
+            jnp.where(lane_g == k, glob, 0.0), axis=1, keepdims=True
+        )
+
+    def g3(k):  # vec3 global as a tuple of (1,1) values
+        return (g(k), g(k + 1), g(k + 2))
+
+    # ---- ray-gen (constants.py camera conventions) ------------------------
+    pix = pix0 + lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    row = (pix // W).astype(f32)
+    colm = (pix % W).astype(f32)
+    aspect = W / H
+    sx = (2.0 * (colm + 0.5) / W - 1.0) * aspect   # right already × tan(fov/2)
+    sy = 1.0 - 2.0 * (row + 0.5) / H
+    eye, fwd = g3(0), g3(3)
+    right_h, up_h = g3(6), g3(9)
+    ambient = g3(12)
+    d = _normalize3(_add3(fwd, _add3(_scale3(right_h, sx), _scale3(up_h, sy))))
+    o = tuple(jnp.broadcast_to(e, (1, R)) for e in eye)
+
+    iota_sub = lax.broadcasted_iota(jnp.int32, (LANES, R), 0)
+    rows8 = lax.broadcasted_iota(jnp.int32, (8, R), 0)
+
+    def build_X(o3, d3):
+        """(8, R) ray matrix [ox oy oz 1 dx dy dz 0] via iota masking (no
+        small-vector concatenates)."""
+        m = lambda k, v: jnp.where(rows8 == k, v, 0.0)        # noqa: E731
+        return (
+            m(0, o3[0]) + m(1, o3[1]) + m(2, o3[2]) + m(3, 1.0)
+            + m(4, d3[0]) + m(5, d3[1]) + m(6, d3[2])
+        )
+
+    def tri_block(X, b, t_lo, t_hi):
+        """(t (128,R), u, v) for triangle block b against rays X."""
+        wb = wtri[:, b * 6 * LANES : (b + 1) * 6 * LANES]
+        out = lax.dot_general(
+            wb, X, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(6, LANES, R)
+        no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
+        good = jnp.abs(ndd) >= C.MT_DET_EPS
+        safe_nd = jnp.where(good, ndd, 1.0)
+        t = -no_ / safe_nd
+        u = uo + t * ud
+        v = vo + t * vd
+        hit = good & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > t_lo) & (t < t_hi)
+        return jnp.where(hit, t, C.T_NONE), u, v
+
+    def sph_block(X, b, oo, od, t_lo, t_hi):
+        """(t (128,R)) for sphere block b (nearest root in range)."""
+        wb = wsph[:, b * 2 * LANES : (b + 1) * 2 * LANES]
+        out = lax.dot_general(
+            wb, X, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(2, LANES, R)
+        ct, cd = out[0], out[1]
+        b_half = od - cd                       # o·d - c·d
+        cterm = oo + ct                        # |o-c|² - r²
+        disc = b_half * b_half - cterm
+        has = disc > 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))  # guarded: grad-safe
+        t0 = -b_half - sq
+        t1 = -b_half + sq
+        t0_ok = has & (t0 > t_lo) & (t0 < t_hi)
+        t1_ok = has & (t1 > t_lo) & (t1 < t_hi)
+        return jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, C.T_NONE))
+
+    def fold_best(best, tm, u, v, attr_block):
+        """Fold one block's (128,R) candidates into the running per-ray best."""
+        t_best, a_best, u_best, v_best = best
+        bt = jnp.min(tm, axis=0, keepdims=True)                      # (1,R)
+        bidx = jnp.min(
+            jnp.where(tm == bt, iota_sub, LANES), axis=0, keepdims=True
+        )
+        onehot = (iota_sub == bidx).astype(f32)                      # (128,R)
+        cand_a = lax.dot_general(
+            attr_block, onehot, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,  # attrs must survive exactly
+        )                                                            # (ACOLS,R)
+        cand_u = jnp.sum(onehot * u, axis=0, keepdims=True)
+        cand_v = jnp.sum(onehot * v, axis=0, keepdims=True)
+        imp = bt < t_best
+        return (
+            jnp.where(imp, bt, t_best),
+            jnp.where(imp, cand_a, a_best),
+            jnp.where(imp, cand_u, u_best),
+            jnp.where(imp, cand_v, v_best),
+        )
+
+    def closest(o3, d3):
+        X = build_X(o3, d3)
+        oo = _dot3(o3, o3)
+        od = _dot3(o3, d3)
+        best = (
+            jnp.full((1, R), C.T_NONE, f32),
+            jnp.zeros((PK.ACOLS, R), f32),
+            jnp.zeros((1, R), f32),
+            jnp.zeros((1, R), f32),
+        )
+        for b in range(nb_t):
+            tm, u, v = tri_block(X, b, C.T_MIN, C.T_MAX)
+            best = fold_best(best, tm, u, v, attrs[b * LANES : (b + 1) * LANES])
+        for b in range(nb_s):
+            tm = sph_block(X, b, oo, od, C.T_MIN, C.T_MAX)
+            zero = jnp.zeros_like(tm)
+            best = fold_best(
+                best, tm, zero, zero,
+                attrs[t_pad + b * LANES : t_pad + (b + 1) * LANES],
+            )
+        return best
+
+    def occluded(o3, d3, tmax):
+        """Any-hit in (T_MIN, tmax) — shadow rays (SURVEY §2 row R7)."""
+        X = build_X(o3, d3)
+        oo = _dot3(o3, o3)
+        od = _dot3(o3, d3)
+        occ = jnp.zeros((1, R), bool)
+        for b in range(nb_t):
+            tm, _, _ = tri_block(X, b, C.T_MIN, C.T_MAX)
+            occ = occ | jnp.any(tm < tmax, axis=0, keepdims=True)
+        for b in range(nb_s):
+            tm = sph_block(X, b, oo, od, C.T_MIN, C.T_MAX)
+            occ = occ | jnp.any(tm < tmax, axis=0, keepdims=True)
+        return occ
+
+    # ---- Whitted loop (constants.py conventions; mirrors ref/oracle.py) ---
+    bg = tuple(jnp.full((1, R), C.BACKGROUND[c], f32) for c in range(3))
+    accum = tuple(jnp.zeros((1, R), f32) for _ in range(3))
+    thr = jnp.ones((1, R), f32)
+    alive = jnp.ones((1, R), bool)
+
+    for _depth in range(max_depth + 1):
+        t, a, u, v = closest(o, d)
+        hit = t < C.T_MAX
+
+        p = _add3(o, _scale3(d, t))
+
+        def a1(k):
+            return a[k : k + 1]
+
+        def a3(k):
+            return (a1(k), a1(k + 1), a1(k + 2))
+
+        w_bar = 1.0 - u - v
+        n_int = _normalize3(
+            _add3(
+                _scale3(a3(PK.A_N0), w_bar),
+                _add3(_scale3(a3(PK.A_N1), u), _scale3(a3(PK.A_N2), v)),
+            )
+        )
+        n_tri = _where3(_dot3(n_int, d) > 0.0, _neg3(n_int), n_int)  # two-sided
+        n_sph = _normalize3(_sub3(p, a3(PK.A_CENTER)))               # not flipped
+        is_sph = a1(PK.A_IS_SPH) > 0.5
+        n = _where3(is_sph, n_sph, n_tri)
+
+        ka = a3(PK.A_KA)
+        kd = a3(PK.A_KD)
+        ks = a3(PK.A_KS)
+        shin = a1(PK.A_SHIN)
+        refl = a1(PK.A_REFL)
+
+        color = tuple(ka[c] * ambient[c] for c in range(3))
+        view = _neg3(d)
+        p_off = _add3(p, _scale3(n, C.RAY_OFFSET_EPS))
+        for li in range(n_lights):
+            lpos = g3(PK.NGLOB_BASE + 3 * li)
+            lcol = g3(PK.NGLOB_BASE + 3 * n_lights + 3 * li)
+            to_l = _sub3(lpos, p)
+            dist = jnp.sqrt(_dot3(to_l, to_l))
+            ldir = _scale3(to_l, 1.0 / jnp.maximum(dist, 1e-20))
+            ndotl = jnp.maximum(_dot3(n, ldir), 0.0)
+            refl_l = _reflect3(_neg3(ldir), n)
+            rdotv = jnp.maximum(_dot3(refl_l, view), 0.0)
+            safe_rv = jnp.where(rdotv > 0.0, rdotv, 1.0)
+            spec = jnp.where((ndotl > 0.0) & (rdotv > 0.0), safe_rv**shin, 0.0)
+            if shadows:
+                vis = 1.0 - occluded(p_off, ldir, dist - C.RAY_OFFSET_EPS).astype(f32)
+            else:
+                vis = jnp.ones((1, R), f32)
+            color = tuple(
+                color[c] + vis * lcol[c] * (kd[c] * ndotl + ks[c] * spec)
+                for c in range(3)
+            )
+
+        color = _where3(hit, color, bg)
+        live = thr * alive.astype(f32)
+        accum = tuple(accum[c] + live * color[c] for c in range(3))
+        refl = jnp.where(hit, refl, 0.0)
+        thr = thr * refl
+        alive = alive & hit & (refl > 0.0)
+        o = p_off
+        d = _reflect3(d, n)
+
+    return tuple(jnp.clip(accum[c], C.CLAMP_LO, C.CLAMP_HI) for c in range(3))
+
+
+# ---------------------------------------------------------------------------
+# pallas kernels
+# ---------------------------------------------------------------------------
+def _fwd_kernel(off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, out_ref, *, statics):
+    R = statics[-1]
+    pix0 = off_ref[0, 0] + pl.program_id(0) * R
+    c0, c1, c2 = _tile_color(
+        glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...], pix0, statics
+    )
+    out_ref[0:1, :] = c0
+    out_ref[1:2, :] = c1
+    out_ref[2:3, :] = c2
+
+
+def _bwd_kernel(
+    off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, g_ref,
+    dglob_ref, dwtri_ref, dwsph_ref, dattrs_ref, *, statics,
+):
+    R = statics[-1]
+    pix0 = off_ref[0, 0] + pl.program_id(0) * R
+
+    def f(gl, wt, ws, at):
+        return _tile_color(gl, wt, ws, at, pix0, statics)
+
+    _, vjp = jax.vjp(f, glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...])
+    dgl, dwt, dws, dat = vjp((g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :]))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dglob_ref[...] = jnp.zeros_like(dglob_ref)
+        dwtri_ref[...] = jnp.zeros_like(dwtri_ref)
+        dwsph_ref[...] = jnp.zeros_like(dwsph_ref)
+        dattrs_ref[...] = jnp.zeros_like(dattrs_ref)
+
+    dglob_ref[...] += dgl
+    dwtri_ref[...] += dwt
+    dwsph_ref[...] += dws
+    dattrs_ref[...] += dat
+
+
+def _statics_for(packed: PackedScene, config, rays: int):
+    return (
+        config.height,
+        config.width,
+        config.max_depth,
+        config.shadows,
+        packed.n_tri_blocks,
+        packed.n_sph_blocks,
+        packed.n_lights,
+        rays,
+    )
+
+
+def _glob_padded(packed):
+    gpad = -(-packed.globals.shape[1] // LANES) * LANES
+    return jnp.pad(packed.globals, ((0, 0), (0, gpad - packed.globals.shape[1])))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _render_core(statics, packed: PackedScene, off_f):
+    return _render_core_fwd(statics, packed, off_f)[0]
+
+
+def _render_core_fwd(statics, packed, off_f):
+    (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix) = statics
+    ntiles = -(-n_pix // RAYS)
+    tile_statics = (H, W, max_depth, shadows, nb_t, nb_s, n_lights, RAYS)
+    glob = _glob_padded(packed)
+    off = jnp.asarray(off_f, jnp.float32).astype(jnp.int32).reshape(1, 1)
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, statics=tile_statics),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((3, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((3, ntiles * RAYS), jnp.float32),
+        interpret=_interpret(),
+    )(off, glob, packed.wtri, packed.wsph, packed.attrs)
+    return out, (packed, off_f)
+
+
+def _render_core_bwd(statics, res, g):
+    packed, off_f = res
+    (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix) = statics
+    # cotangent arrives in the fwd tiling (a multiple of RAYS, which is a
+    # multiple of RAYS_BWD); out-of-image lanes carry zero cotangent
+    ntiles = g.shape[1] // RAYS_BWD
+    tile_statics = (H, W, max_depth, shadows, nb_t, nb_s, n_lights, RAYS_BWD)
+    glob = _glob_padded(packed)
+    off = jnp.asarray(off_f, jnp.float32).astype(jnp.int32).reshape(1, 1)
+    dglob, dwtri, dwsph, dattrs = pl.pallas_call(
+        functools.partial(_bwd_kernel, statics=tile_statics),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (3, RAYS_BWD), lambda t: (0, t), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=[
+            pl.BlockSpec(glob.shape, lambda t: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                packed.wtri.shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                packed.wsph.shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                packed.attrs.shape, lambda t: (0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct(glob.shape, jnp.float32),
+            jax.ShapeDtypeStruct(packed.wtri.shape, jnp.float32),
+            jax.ShapeDtypeStruct(packed.wsph.shape, jnp.float32),
+            jax.ShapeDtypeStruct(packed.attrs.shape, jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(off, glob, packed.wtri, packed.wsph, packed.attrs, g)
+    d_packed = PackedScene(
+        wtri=dwtri,
+        wsph=dwsph,
+        attrs=dattrs,
+        globals=dglob[:, : packed.globals.shape[1]],
+        n_tri_blocks=packed.n_tri_blocks,
+        n_sph_blocks=packed.n_sph_blocks,
+        n_lights=packed.n_lights,
+        smooth=packed.smooth,
+    )
+    return d_packed, jnp.zeros_like(off_f)
+
+
+_render_core.defvjp(_render_core_fwd, _render_core_bwd)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+def supports(scene, config) -> bool:
+    """Phase-1 kernel applicability: all-VMEM scenes, no textures.
+    Uses only static scene properties (shapes + flags) so it is safe to
+    call during tracing."""
+    return (
+        scene.n_tris <= _F32_MAX_PRIMS
+        and scene.n_spheres <= _F32_MAX_PRIMS
+        and not scene.textured
+    )
+
+
+def render_rows_pallas(scene, config, row0, nrows: int):
+    """Render rows [row0, row0+nrows) — the shard_map per-device slab."""
+    packed = pack_scene(scene)
+    n_pix = nrows * config.width
+    statics = _statics_for(packed, config, n_pix)
+    off_f = jnp.asarray(row0, jnp.float32) * config.width
+    flat = _render_core(statics, packed, off_f)
+    img = flat[:, :n_pix].reshape(3, nrows, config.width)
+    return jnp.transpose(img, (1, 2, 0))
+
+
+def render_pallas(scene, config):
+    return render_rows_pallas(scene, config, 0, config.height)

@@ -131,7 +131,10 @@ def shade_hits(scene, o, d, rec, shadows=True):
         ndotl = jnp.maximum(vec.dot(n, ldir), 0.0)
         refl_l = vec.reflect(-ldir, n)                 # mirror of L about N
         rdotv = jnp.maximum(vec.dot(refl_l, view), 0.0)
-        spec = jnp.where(ndotl > 0.0, rdotv**shin, 0.0)
+        # guard pow so d/d(shininess) at rdotv == 0 is 0·log(1) = 0, not
+        # 0·log(0) = NaN; values are identical (pow only used when rdotv > 0)
+        safe_rv = jnp.where(rdotv > 0.0, rdotv, 1.0)
+        spec = jnp.where((ndotl > 0.0) & (rdotv > 0.0), safe_rv**shin, 0.0)
         if shadows:
             occluded = geom.any_hit(scene, p_off, ldir, dist - C.RAY_OFFSET_EPS)
             vis = jnp.where(occluded, 0.0, 1.0)[..., None]

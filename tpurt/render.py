@@ -25,14 +25,14 @@ from tpurt.core.types import RenderConfig
 from tpurt.ref import oracle
 
 
-def _resolve_backend(config: RenderConfig) -> str:
+def _resolve_backend(config: RenderConfig, scene=None) -> str:
     backend = config.backend
     if backend == "auto":
-        try:
-            from tpurt.kernels import megakernel  # noqa: F401
+        from tpurt.kernels import megakernel
 
+        if scene is None or megakernel.supports(scene, config):
             backend = "pallas"
-        except Exception:
+        else:
             backend = "oracle"
     return backend
 
@@ -59,12 +59,19 @@ def render(scene, config: RenderConfig | None = None, **overrides):
     config = (config or RenderConfig()).replace(**overrides) if overrides else (
         config or RenderConfig()
     )
-    backend = _resolve_backend(config)
+    backend = _resolve_backend(config, scene)
     if backend == "pallas":
         from tpurt.kernels import megakernel
 
-        return megakernel.render_pallas(scene, config)
+        return _render_pallas_jit(scene, config)
     return _render_oracle(scene, config)
+
+
+@partial(jax.jit, static_argnames=("config",))
+def _render_pallas_jit(scene, config: RenderConfig):
+    from tpurt.kernels import megakernel
+
+    return megakernel.render_pallas(scene, config)
 
 
 def render_and_grad(scene, loss_fn, config: RenderConfig | None = None, **overrides):

@@ -24,8 +24,11 @@ from tpurt import constants as C
 from tpurt.core.types import pytree_dataclass
 from tpurt.core import vec
 
-#: Placement of degenerate pad primitives: far outside T_MAX reach.
-_PAD_POS = 2.0e30
+#: Placement of degenerate pad primitives: far away, but small enough that
+#: squared distances (sphere quadratic: |c|² - r²) stay finite in f32 —
+#: 2e30 would overflow to inf and NaN the backward pass.  Pad triangles are
+#: zero-area (can never hit); pad spheres subtend ~1e-10 rad.
+_PAD_POS = 1.0e7
 
 
 @pytree_dataclass
@@ -93,7 +96,7 @@ class Camera:
         return fwd, right, true_up
 
 
-@pytree_dataclass(meta_fields=("smooth",))
+@pytree_dataclass(meta_fields=("smooth", "textured"))
 class Scene:
     """Full scene: geometry + materials + lights + camera, all jnp SoA.
 
@@ -131,6 +134,9 @@ class Scene:
     ambient: Any
     camera: Camera
     smooth: bool = False
+    #: static flag: any material references a texture (lets backends decide
+    #: kernel applicability without inspecting traced data)
+    textured: bool = False
 
     # shapes are static under jit — safe to expose as python ints
     @property
@@ -212,10 +218,15 @@ def build_scene(
     if n_pad_s or centers.shape[0] == 0:
         k = max(n_pad_s, 1)
         centers = np.concatenate([centers, np.full((k, 3), _PAD_POS, np.float32)], 0)
-        radii = np.concatenate([radii, np.full((k,), 1e-6, np.float32)], 0)
+        radii = np.concatenate([radii, np.full((k,), 1e-3, np.float32)], 0)
         smat = np.concatenate([smat, np.zeros((k,), np.int32)], 0)
 
     materials = materials or [{"kd": 0.8}]
+    has_tex = (
+        any(m.get("texture_id", -1) >= 0 for m in materials)
+        if not isinstance(materials, Materials)
+        else bool(np.any(np.asarray(materials.texture_id) >= 0))
+    )
     lights = lights or [((0.0, 5.0, 0.0), (1.0, 1.0, 1.0))]
     lp = np.asarray([l[0] for l in lights], np.float32).reshape(-1, 3)
     lc = np.asarray([l[1] for l in lights], np.float32).reshape(-1, 3)
@@ -241,6 +252,7 @@ def build_scene(
         ambient=jnp.asarray(ambient, C.DTYPE),
         camera=camera,
         smooth=smooth,
+        textured=has_tex,
     )
 
 
