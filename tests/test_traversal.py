@@ -1,0 +1,94 @@
+"""Cluster-traversal kernel + deferred shading parity (SURVEY.md §4 items
+1-2, §7 step 4).  Interpret mode on CPU; the same kernel compiles on TPU."""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt.accel import build_clusters, build_grid
+from tpurt.kernels import traversal as TV
+from tpurt.ref import render_ref
+from tpurt.render import RenderPlan, prepare, render
+from tpurt.scene import configs
+
+
+def _plan_for(scene, kind="bvh"):
+    verts = np.asarray(scene.vertices)
+    tris = np.asarray(scene.triangles)
+    cs = build_clusters(verts, tris) if kind == "bvh" else build_grid(verts, tris).clusters
+    return jnp.asarray(cs.tri_ids)
+
+
+def test_clustered_matches_oracle_mesh():
+    scene, cfg = configs.config4_bunny(32, 32, subdiv=2)
+    tri_ids = _plan_for(scene)
+    img = np.asarray(TV.render_rows_clustered(scene, cfg, tri_ids, 0, 32))
+    ref = np.asarray(render_ref(scene, config=cfg))
+    np.testing.assert_allclose(img, ref, atol=2e-4)
+
+
+def test_clustered_matches_oracle_spheres_reflections():
+    scene, cfg = configs.config3_spheres(32, 32)  # depth-2, 2 lights
+    tri_ids = _plan_for(scene)
+    img = np.asarray(TV.render_rows_clustered(scene, cfg, tri_ids, 0, 32))
+    ref = np.asarray(render_ref(scene, config=cfg))
+    np.testing.assert_allclose(img, ref, atol=2e-4)
+
+
+def test_grid_accel_matches_oracle():
+    scene, cfg = configs.config4_bunny(24, 24, subdiv=2)
+    tri_ids = _plan_for(scene, kind="grid")
+    img = np.asarray(TV.render_rows_clustered(scene, cfg, tri_ids, 0, 24))
+    ref = np.asarray(render_ref(scene, config=cfg))
+    np.testing.assert_allclose(img, ref, atol=2e-4)
+
+
+def test_clustered_textured_config5():
+    scene, cfg = configs.config5_multimesh(24, 32, n_blobs=2, subdiv=2)
+    tri_ids = _plan_for(scene)
+    img = np.asarray(TV.render_rows_clustered(scene, cfg, tri_ids, 0, 24))
+    ref = np.asarray(render_ref(scene, config=cfg))
+    np.testing.assert_allclose(img, ref, atol=2e-4)
+
+
+def test_clustered_gradients_match_oracle():
+    scene, cfg = configs.config4_bunny(16, 16, subdiv=1)
+    tri_ids = _plan_for(scene)
+
+    def loss_c(s):
+        return jnp.sum(TV.render_rows_clustered(s, cfg, tri_ids, 0, 16) ** 2)
+
+    def loss_r(s):
+        return jnp.sum(render_ref(s, config=cfg) ** 2)
+
+    gc = jax.grad(loss_c, allow_int=True)(scene)
+    gr = jax.grad(loss_r, allow_int=True)(scene)
+    for f in ("vertices", "vnormals", "light_pos", "light_color"):
+        a, b = np.asarray(getattr(gr, f)), np.asarray(getattr(gc, f))
+        assert np.isfinite(b).all(), f
+        np.testing.assert_allclose(b, a, atol=2e-4 * (np.abs(a).max() + 1e-6), err_msg=f)
+
+
+def test_render_auto_routes_big_scene_through_clusters():
+    scene, cfg = configs.config4_bunny(16, 16, subdiv=4)  # 5122 tris > phase1 cap
+    plan = prepare(scene, cfg)
+    assert plan.kind == "clusters"
+    img = np.asarray(render(scene, cfg, plan=plan))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+
+
+def test_train_step_clustered_plan():
+    from tpurt.dist import make_mesh, make_train_step
+
+    scene, cfg = configs.config4_bunny(16, 16, subdiv=2)
+    plan = RenderPlan(tri_ids=_plan_for(scene), kind="clusters")
+    mesh = make_mesh(8)
+    step = make_train_step(cfg, mesh, plan=plan)
+    target = jnp.zeros((16, 16, 3), jnp.float32)
+    s2, loss = step(scene, target, jnp.float32(1e-3))
+    assert np.isfinite(float(loss))
+    # vertices actually moved (grads flowed through refit + traversal)
+    assert not np.allclose(np.asarray(s2.vertices), np.asarray(scene.vertices))

@@ -37,15 +37,19 @@ def make_mesh(n_devices: int | None = None, axis: str = TILE_AXIS) -> Mesh:
     return Mesh(np.asarray(devs), (axis,))
 
 
-def render_rows(scene, config: RenderConfig, row0, nrows: int):
+def render_rows(scene, config: RenderConfig, row0, nrows: int, plan=None):
     """Render a horizontal slab [row0, row0+nrows) of the full image.
 
     The single-device building block shared by every parallel layout; row0
     may be a traced value (device-dependent), nrows is static.  Dispatches
-    to the pallas megakernel or the oracle per config.backend.
+    to the pallas megakernel, cluster traversal, or the oracle.
     """
     from tpurt.render import _resolve_backend
 
+    if plan is not None and plan.kind == "clusters":
+        from tpurt.kernels import traversal
+
+        return traversal.render_rows_clustered(scene, config, plan.tri_ids, row0, nrows)
     backend = _resolve_backend(config, scene)
     if backend == "pallas":
         from tpurt.kernels import megakernel
@@ -72,27 +76,29 @@ def _rows_per_device(height: int, n: int) -> int:
 
 
 @partial(jax.jit, static_argnames=("config", "mesh", "axis"))
-def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXIS):
+def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXIS,
+                   plan=None):
     """Render the full image tile-parallel over `mesh`.
 
-    Scene replicated, image row-sharded across `axis`.  Pixel-identical to
-    the single-device render (each slab computes NDC against the full image
-    height) — the determinism property SURVEY.md §4 item 4 tests.
+    Scene (and plan) replicated, image row-sharded across `axis`.  Pixel-
+    identical to the single-device render (each slab computes NDC against
+    the full image height) — the determinism property SURVEY.md §4 item 4
+    tests.
     """
     n = mesh.shape[axis]
     nrows = _rows_per_device(config.height, n)
 
-    def tile_fn(s):
+    def tile_fn(s, p):
         row0 = lax.axis_index(axis) * nrows
-        return render_rows(s, config, row0, nrows)
+        return render_rows(s, config, row0, nrows, plan=p)
 
     return jax.shard_map(
         tile_fn,
         mesh=mesh,
-        in_specs=(P(),),
+        in_specs=(P(), P()),
         out_specs=P(axis, None, None),
         # pallas_call out_shapes carry no varying-mesh-axes annotation;
         # skip the vma check (correctness is covered by the sharded-vs-
         # single-device parity tests)
         check_vma=False,
-    )(scene)
+    )(scene, plan)

@@ -34,21 +34,24 @@ def sgd_update(scene, grads, lr):
     return jax.tree_util.tree_map(upd, scene, grads)
 
 
-def make_train_step(config: RenderConfig, mesh=None, axis: str = TILE_AXIS):
+def make_train_step(config: RenderConfig, mesh=None, axis: str = TILE_AXIS,
+                    plan=None):
     """Build a jitted train step `(scene, target, lr) -> (scene', loss)`.
 
     `mesh=None` renders single-device; with a mesh, rendering is
     tile-parallel via shard_map and scene-parameter gradients are globally
-    correct (psum over the mesh).
+    correct (psum over the mesh).  `plan` (see tpurt.render.prepare) routes
+    big scenes through cluster traversal; build it once from the template
+    scene — cluster AABBs refit from live vertices inside the jitted step.
     """
 
     def loss_fn(scene, target):
         if mesh is None:
             from tpurt.render import render
 
-            img = render(scene, config)
+            img = render(scene, config, plan=plan)
         else:
-            img = render_sharded(scene, config, mesh, axis)
+            img = render_sharded(scene, config, mesh, axis, plan=plan)
         return jnp.mean((img - target) ** 2)
 
     @jax.jit

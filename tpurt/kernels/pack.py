@@ -80,18 +80,12 @@ def _pad_axis(x, n, axis=0, value=0.0):
     return jnp.pad(x, pad, constant_values=value)
 
 
-def pack_scene(scene) -> PackedScene:
-    """Pure-jnp, differentiable Scene → PackedScene."""
-    T = scene.n_tris
-    S = scene.n_spheres
-    T_pad = max(LANES, -(-T // LANES) * LANES)
-    S_pad = max(LANES, -(-S // LANES) * LANES)
+def tri_form_groups(v0, e1, e2):
+    """Baldwin–Weber linear forms for triangles (v0, e1, e2) → (8, 6, T).
 
-    tri = scene.triangles
-    v0 = scene.vertices[tri[:, 0]]
-    e1 = scene.vertices[tri[:, 1]] - v0
-    e2 = scene.vertices[tri[:, 2]] - v0
-    N = vec.cross(e1, e2)                        # (T, 3), zero for pad tris
+    Degenerate (pad) triangles have N == 0 ⇒ |N·d| < eps ⇒ masked in-kernel;
+    their t numerator is kept nonzero so no 0/0 NaN can form."""
+    N = vec.cross(e1, e2)
     det = vec.dot(N, N)
     safe_det = jnp.where(det < 1e-18, 1.0, det)[..., None]
     r1 = vec.cross(e2, N) / safe_det
@@ -99,13 +93,10 @@ def pack_scene(scene) -> PackedScene:
     nd = vec.dot(N, v0)
     c1 = -vec.dot(r1, v0)
     c2 = -vec.dot(r2, v0)
-    # degenerate (pad) triangles: N == 0 ⇒ |N·d| < eps ⇒ masked out in-kernel.
-    # Keep the t numerator nonzero there so t is ±inf, never 0/0 = NaN.
     nd = jnp.where(det < 1e-18, -1.0, nd)
 
     zeros3 = jnp.zeros_like(v0)
     zeros1 = jnp.zeros_like(nd)
-    ones1 = jnp.ones_like(nd)
 
     def col(o_part3, o_part1, d_part3, d_part1=None):
         """One (8, T) column group: [o·a + b | d·a (+ b')] per primitive."""
@@ -118,26 +109,17 @@ def pack_scene(scene) -> PackedScene:
             axis=0,
         )  # (8, T)
 
-    # six column groups, each (8, T)
     g_no = col(N, -nd, zeros3)          # N·o - nd
     g_nd = col(zeros3, zeros1, N)       # N·d
     g_uo = col(r1, c1, zeros3)          # r1·o + c1
     g_ud = col(zeros3, zeros1, r1)      # r1·d
     g_vo = col(r2, c2, zeros3)          # r2·o + c2
     g_vd = col(zeros3, zeros1, r2)      # r2·d
-    # block-major: (8, nb, 6, 128) → (8, 6*T_pad)
-    groups = jnp.stack([g_no, g_nd, g_uo, g_ud, g_vo, g_vd], axis=1)  # (8,6,T)
-    groups = _pad_axis(groups, T_pad, axis=2)
-    nb_t = T_pad // LANES
-    wtri = (
-        groups.reshape(8, 6, nb_t, LANES)
-        .transpose(0, 2, 1, 3)
-        .reshape(8, 6 * T_pad)
-    )
+    return jnp.stack([g_no, g_nd, g_uo, g_ud, g_vo, g_vd], axis=1)  # (8,6,T)
 
-    # spheres: 2 column groups
-    cen = scene.sph_center
-    rad = scene.sph_radius
+
+def sphere_form_groups(cen, rad):
+    """Sphere quadratic columns → (8, 2, S): [-2c·o + (c·c - r²) | c·d]."""
     cc_r2 = vec.dot(cen, cen) - rad * rad
     zs3 = jnp.zeros_like(cen)
     zs1 = jnp.zeros_like(rad)
@@ -147,19 +129,60 @@ def pack_scene(scene) -> PackedScene:
             zs3[:, 0], zs3[:, 1], zs3[:, 2], zs1,
         ],
         axis=0,
-    )  # (8, S): -2 o·c + c·c - r²
+    )
     s_cd = jnp.stack(
         [zs3[:, 0], zs3[:, 1], zs3[:, 2], zs1, cen[:, 0], cen[:, 1], cen[:, 2], zs1],
         axis=0,
-    )  # (8, S): c·d
-    sgroups = jnp.stack([s_ct, s_cd], axis=1)  # (8, 2, S)
-    sgroups = _pad_axis(sgroups, S_pad, axis=2)
-    nb_s = S_pad // LANES
-    wsph = (
-        sgroups.reshape(8, 2, nb_s, LANES)
-        .transpose(0, 2, 1, 3)
-        .reshape(8, 2 * S_pad)
     )
+    return jnp.stack([s_ct, s_cd], axis=1)  # (8, 2, S)
+
+
+def block_major(groups, pad_to):
+    """(8, G, P) column groups → (8, G*pad_to) block-major [G, 128] layout."""
+    G = groups.shape[1]
+    groups = _pad_axis(groups, pad_to, axis=2)
+    nb = pad_to // LANES
+    return (
+        groups.reshape(8, G, nb, LANES).transpose(0, 2, 1, 3).reshape(8, G * pad_to)
+    )
+
+
+def globals_vec(scene):
+    """(1, NGLOB) camera/ambient/light packing shared by every kernel."""
+    cam = scene.camera
+    fwd, right, true_up = cam.basis()
+    half_h = jnp.tan(cam.fov_y * 0.5)
+    return jnp.concatenate(
+        [
+            cam.eye, fwd,
+            right * half_h,    # × aspect applied in-kernel (needs W/H statics)
+            true_up * half_h,
+            jnp.asarray(scene.ambient, C.DTYPE).reshape(3),
+            scene.light_pos.reshape(-1),
+            scene.light_color.reshape(-1),
+        ]
+    )[None, :]
+
+
+def pack_scene(scene) -> PackedScene:
+    """Pure-jnp, differentiable Scene → PackedScene."""
+    T = scene.n_tris
+    S = scene.n_spheres
+    T_pad = max(LANES, -(-T // LANES) * LANES)
+    S_pad = max(LANES, -(-S // LANES) * LANES)
+
+    tri = scene.triangles
+    v0 = scene.vertices[tri[:, 0]]
+    e1 = scene.vertices[tri[:, 1]] - v0
+    e2 = scene.vertices[tri[:, 2]] - v0
+    wtri = block_major(tri_form_groups(v0, e1, e2), T_pad)
+    nb_t = T_pad // LANES
+
+    cen = scene.sph_center
+    rad = scene.sph_radius
+    wsph = block_major(sphere_form_groups(cen, rad), S_pad)
+    nb_s = S_pad // LANES
+    N = vec.cross(e1, e2)
 
     # ---- attribute table ---------------------------------------------------
     gn = vec.normalize(N)
@@ -211,22 +234,7 @@ def pack_scene(scene) -> PackedScene:
     )
     attrs = jnp.pad(attrs, ((0, 0), (0, ACOLS - attrs.shape[1])))
 
-    # ---- globals -----------------------------------------------------------
-    cam = scene.camera
-    fwd, right, true_up = cam.basis()
-    # see geom.pixel_dirs_terms: right/up pre-scaled by the half-frustum
-    L = scene.n_lights
-    half_h = jnp.tan(cam.fov_y * 0.5)
-    glob = jnp.concatenate(
-        [
-            cam.eye, fwd,
-            right * half_h,    # × aspect applied in-kernel (needs W/H statics)
-            true_up * half_h,
-            jnp.asarray(scene.ambient, C.DTYPE).reshape(3),
-            scene.light_pos.reshape(-1),
-            scene.light_color.reshape(-1),
-        ]
-    )[None, :]
+    glob = globals_vec(scene)
 
     return PackedScene(
         wtri=wtri,
@@ -235,6 +243,6 @@ def pack_scene(scene) -> PackedScene:
         globals=glob,
         n_tri_blocks=nb_t,
         n_sph_blocks=nb_s,
-        n_lights=L,
+        n_lights=scene.n_lights,
         smooth=scene.smooth,
     )

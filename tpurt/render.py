@@ -25,6 +25,55 @@ from tpurt.core.types import RenderConfig
 from tpurt.ref import oracle
 
 
+from tpurt.core.types import pytree_dataclass
+from typing import Any
+
+
+@pytree_dataclass(meta_fields=("kind",))
+class RenderPlan:
+    """Prepared acceleration state for a scene (host-built, jit-carriable).
+
+    kind: "phase1"   — all-VMEM megakernel, tri_ids unused
+          "clusters" — streaming traversal + deferred shading; tri_ids is
+                       the frozen (C, 128) cluster topology (AABBs refit
+                       from live vertices inside jit)
+          "oracle"   — brute force jnp
+    """
+
+    tri_ids: Any
+    kind: str
+
+
+def prepare(scene, config: RenderConfig | None = None, accel=None) -> RenderPlan:
+    """Build the render plan for `scene` (host-side; scene must be concrete).
+
+    Train loops call this once on the template scene and pass the plan to
+    render()/make_train_step() so the jitted step never needs host work.
+    `accel` overrides config.accel ("bvh" | "grid").
+    """
+    import jax.numpy as jnp
+    import numpy as np
+
+    config = config or RenderConfig()
+    accel = accel or config.accel
+    from tpurt.kernels import megakernel
+
+    if megakernel.supports(scene, config) and accel == "auto":
+        return RenderPlan(tri_ids=None, kind="phase1")
+    # everything else — big scenes AND textured scenes of any size — goes
+    # through cluster traversal + deferred shading (textures are sampled in
+    # the deferred pass)
+    from tpurt.accel import build_clusters, build_grid
+
+    verts = np.asarray(scene.vertices)
+    tris = np.asarray(scene.triangles)
+    if accel == "grid":
+        cs = build_grid(verts, tris).clusters
+    else:
+        cs = build_clusters(verts, tris)
+    return RenderPlan(tri_ids=jnp.asarray(cs.tri_ids), kind="clusters")
+
+
 def _resolve_backend(config: RenderConfig, scene=None) -> str:
     backend = config.backend
     if backend == "auto":
@@ -50,20 +99,31 @@ def _render_oracle(scene, config: RenderConfig):
     return colors.reshape(config.height, config.width, 3)
 
 
-def render(scene, config: RenderConfig | None = None, **overrides):
+def render(scene, config: RenderConfig | None = None, plan: RenderPlan | None = None,
+           **overrides):
     """Render `scene` to an (H, W, 3) float32 image in [0, 1].
 
     `config` defaults to RenderConfig(); keyword overrides are applied on
-    top (e.g. ``render(scene, width=1920, height=1080)``).
+    top (e.g. ``render(scene, width=1920, height=1080)``).  `plan` carries
+    prepared acceleration state (see prepare()); without one, small scenes
+    use the all-VMEM megakernel and big scenes build clusters on the host
+    (requires a concrete, untraced scene).
     """
     config = (config or RenderConfig()).replace(**overrides) if overrides else (
         config or RenderConfig()
     )
-    backend = _resolve_backend(config, scene)
-    if backend == "pallas":
+    if plan is None:
         from tpurt.kernels import megakernel
 
+        if config.backend == "oracle":
+            return _render_oracle(scene, config)
+        if megakernel.supports(scene, config) and config.accel == "auto":
+            return _render_pallas_jit(scene, config)
+        plan = prepare(scene, config)   # host build — scene must be concrete
+    if plan.kind == "phase1":
         return _render_pallas_jit(scene, config)
+    if plan.kind == "clusters":
+        return _render_clustered_jit(scene, plan.tri_ids, config)
     return _render_oracle(scene, config)
 
 
@@ -74,7 +134,15 @@ def _render_pallas_jit(scene, config: RenderConfig):
     return megakernel.render_pallas(scene, config)
 
 
-def render_and_grad(scene, loss_fn, config: RenderConfig | None = None, **overrides):
+@partial(jax.jit, static_argnames=("config",))
+def _render_clustered_jit(scene, tri_ids, config: RenderConfig):
+    from tpurt.kernels import traversal
+
+    return traversal.render_rows_clustered(scene, config, tri_ids, 0, config.height)
+
+
+def render_and_grad(scene, loss_fn, config: RenderConfig | None = None,
+                    plan: RenderPlan | None = None, **overrides):
     """Render and differentiate: returns ((loss, image), grads) where grads
     is a Scene-pytree cotangent (int/index leaves are None).
 
@@ -85,9 +153,11 @@ def render_and_grad(scene, loss_fn, config: RenderConfig | None = None, **overri
     config = (config or RenderConfig()).replace(**overrides) if overrides else (
         config or RenderConfig()
     )
+    if plan is None:
+        plan = prepare(scene, config)
 
     def wrapped(s):
-        img = render(s, config)
+        img = render(s, config, plan=plan)
         return loss_fn(img), img
 
     (loss, img), grads = jax.value_and_grad(wrapped, has_aux=True, allow_int=True)(

@@ -1,0 +1,202 @@
+"""Deferred shading: differentiable image reconstruction from hit topology.
+
+The scalable-scene architecture (SURVEY.md §7 step 4 + "hard parts"): the
+Pallas traversal megakernel (tpurt/kernels/traversal.py) finds WHERE rays
+hit — integer primitive ids per bounce and shadow-occlusion bitmasks — and
+this pure-jnp pass recomputes every CONTINUOUS quantity (t, barycentrics,
+normals, Phong terms) from those ids, differentiably, at XLA level.
+
+Why this split is the right TPU design:
+* gradients: autodiff flows through gathers of (vertices, normals,
+  materials, lights, camera) at *fixed* topology — exactly the
+  piecewise-constant-visibility convention (BASELINE.json:5), with no
+  custom_vjp needed and cost O(pixels × depth), independent of scene size;
+* the non-differentiable, compute-heavy part (traversal, visibility) stays
+  in the kernel where it is MXU-batched and cluster-culled;
+* XLA fuses the whole replay into a handful of kernels over (N, ·) arrays.
+
+The record format is backend-agnostic: `records_oracle` produces identical
+records from the brute-force oracle, which is both the parity reference for
+the traversal kernel and a CPU path for tests.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from jax import lax
+
+from tpurt import constants as C
+from tpurt.core import geom, vec
+from tpurt.core.types import pytree_dataclass
+
+
+@pytree_dataclass
+class HitRecords:
+    """Per-depth hit topology for a flat bundle of N primary rays.
+
+    prim:   (D, N) int32 — triangle index if is_tri else sphere index;
+            -1 = miss.
+    is_tri: (D, N) bool
+    occ:    (D, N) int32 — bit l set ⇔ light l occluded at this bounce.
+    D = max_depth + 1.
+    """
+
+    prim: Any
+    is_tri: Any
+    occ: Any
+
+
+def records_oracle(scene, o, d, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True):
+    """Brute-force record producer (parity reference for traversal kernels).
+
+    Follows the same ray-continuation rule as the shader below: reflection
+    rays continue from every hit regardless of reflectivity (dead paths are
+    killed by throughput in the shader), so records exist for every bounce.
+    """
+    prims, is_tris, occs = [], [], []
+    for _ in range(max_depth + 1):
+        rec = geom.closest_hit(scene, o, d)
+        p, n, _ = _hit_geometry(scene, o, d, rec["t"], rec["prim"], rec["is_tri"],
+                                rec["u"], rec["v"])
+        p_off = p + n * C.RAY_OFFSET_EPS
+        occ_bits = jnp.zeros(o.shape[:-1], C.INDEX_DTYPE)
+        if shadows:
+            for li in range(scene.n_lights):
+                to_l = scene.light_pos[li] - p
+                dist = vec.length(to_l)
+                ldir = to_l / jnp.maximum(dist, 1e-20)[..., None]
+                occluded = geom.any_hit(scene, p_off, ldir, dist - C.RAY_OFFSET_EPS)
+                occ_bits = occ_bits | (occluded.astype(C.INDEX_DTYPE) << li)
+        prims.append(jnp.where(rec["hit"], rec["prim"], -1).astype(C.INDEX_DTYPE))
+        is_tris.append(rec["is_tri"])
+        occs.append(occ_bits)
+        o = p_off
+        d = vec.reflect(d, n)
+    return HitRecords(
+        prim=jnp.stack(prims), is_tri=jnp.stack(is_tris), occ=jnp.stack(occs)
+    )
+
+
+def _recompute_tuv(scene, o, d, prim, is_tri):
+    """Differentiable (t, u, v) at fixed topology.
+
+    Triangles: Möller–Trumbore against the single gathered triangle
+    (identical formulas/epsilons to the brute-force oracle).  Spheres:
+    nearest-root-in-range quadratic.  Miss lanes get t = T_NONE.
+    """
+    pid = jnp.maximum(prim, 0)
+    tri = scene.triangles[pid]
+    v0 = scene.vertices[tri[..., 0]]
+    e1 = scene.vertices[tri[..., 1]] - v0
+    e2 = scene.vertices[tri[..., 2]] - v0
+    pvec = vec.cross(d, e2)
+    det = vec.dot(e1, pvec)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < C.MT_DET_EPS, 1.0, det)
+    tvec = o - v0
+    u = vec.dot(tvec, pvec) * inv_det
+    qvec = vec.cross(tvec, e1)
+    v = vec.dot(d, qvec) * inv_det
+    t_tri = vec.dot(e2, qvec) * inv_det
+
+    cen = scene.sph_center[pid]
+    rad = scene.sph_radius[pid]
+    oc = o - cen
+    b = vec.dot(oc, d)
+    disc = b * b - (vec.dot(oc, oc) - rad * rad)
+    has = disc > 0.0
+    sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+    t0 = -b - sq
+    t0_ok = has & (t0 > C.T_MIN) & (t0 < C.T_MAX)
+    t_sph = jnp.where(t0_ok, t0, -b + sq)
+
+    hit = prim >= 0
+    t = jnp.where(is_tri, t_tri, t_sph)
+    t = jnp.where(hit, t, C.T_NONE)
+    u = jnp.where(is_tri & hit, u, 0.0)
+    v = jnp.where(is_tri & hit, v, 0.0)
+    return t, u, v
+
+
+def _hit_geometry(scene, o, d, t, prim, is_tri, u, v):
+    """Position, shading normal, material id (mirrors ref/oracle.py)."""
+    pid = jnp.maximum(prim, 0)
+    p = o + t[..., None] * d
+    tri = scene.triangles[pid]
+    if scene.smooth:
+        n0 = scene.vnormals[tri[..., 0]]
+        n1 = scene.vnormals[tri[..., 1]]
+        n2 = scene.vnormals[tri[..., 2]]
+        w = (1.0 - u - v)[..., None]
+        n_tri = vec.normalize(w * n0 + u[..., None] * n1 + v[..., None] * n2)
+    else:
+        v0 = scene.vertices[tri[..., 0]]
+        e1 = scene.vertices[tri[..., 1]] - v0
+        e2 = scene.vertices[tri[..., 2]] - v0
+        n_tri = vec.normalize(vec.cross(e1, e2))
+    n_tri = jnp.where(vec.dot(n_tri, d)[..., None] > 0.0, -n_tri, n_tri)
+    n_sph = geom.sphere_normal(p, scene.sph_center[pid])
+    n = jnp.where(is_tri[..., None], n_tri, n_sph)
+    mat = jnp.where(is_tri, scene.tri_mat[pid], scene.sph_mat[pid])
+    return p, n, mat
+
+
+def shade_from_records(
+    scene, o, d, recs: HitRecords, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True
+):
+    """Whitted shading replay from records → colors (N, 3), differentiable
+    w.r.t. every float scene leaf.  Conventions identical to ref/oracle.py
+    (tested: oracle records ⇒ bit-identical structure, allclose values)."""
+    from tpurt.ref.oracle import _sample_texture, _hit_uv
+
+    accum = jnp.zeros_like(o)
+    thr = jnp.ones((*o.shape[:-1], 1), C.DTYPE)
+    alive = jnp.ones(o.shape[:-1], bool)
+
+    for depth in range(max_depth + 1):
+        prim = recs.prim[depth]
+        is_tri = recs.is_tri[depth]
+        occ = recs.occ[depth]
+        hit = prim >= 0
+        t, u, v = _recompute_tuv(scene, o, d, prim, is_tri)
+        p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v)
+
+        m = scene.materials
+        rec_dict = {"prim": jnp.maximum(prim, 0), "u": u, "v": v,
+                    "is_tri": is_tri}
+        tex = _sample_texture(scene, mat, _hit_uv(scene, rec_dict))
+        ka = m.ka[mat]
+        kd = m.kd[mat] * tex
+        ks = m.ks[mat]
+        shin = m.shininess[mat]
+
+        color = ka * jnp.asarray(scene.ambient, C.DTYPE)
+        view = -d
+        p_off = p + n * C.RAY_OFFSET_EPS
+        for li in range(scene.n_lights):
+            to_l = scene.light_pos[li] - p
+            dist = vec.length(to_l)
+            ldir = to_l / jnp.maximum(dist, 1e-20)[..., None]
+            ndotl = jnp.maximum(vec.dot(n, ldir), 0.0)
+            refl_l = vec.reflect(-ldir, n)
+            rdotv = jnp.maximum(vec.dot(refl_l, view), 0.0)
+            safe_rv = jnp.where(rdotv > 0.0, rdotv, 1.0)
+            spec = jnp.where((ndotl > 0.0) & (rdotv > 0.0), safe_rv**shin, 0.0)
+            if shadows:
+                vis = 1.0 - ((occ >> li) & 1).astype(C.DTYPE)[..., None]
+            else:
+                vis = 1.0
+            color = color + vis * scene.light_color[li] * (
+                kd * ndotl[..., None] + ks * spec[..., None]
+            )
+
+        background = jnp.asarray(C.BACKGROUND, C.DTYPE)
+        color = jnp.where(hit[..., None], color, background)
+        accum = accum + jnp.where(alive[..., None], thr * color, 0.0)
+        refl = jnp.where(hit, m.reflectivity[mat], 0.0)
+        thr = thr * refl[..., None]
+        alive = alive & hit & (refl > 0.0)
+        o = p_off
+        d = vec.reflect(d, n)
+
+    return jnp.clip(accum, C.CLAMP_LO, C.CLAMP_HI)
