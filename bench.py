@@ -55,11 +55,16 @@ def main():
         file=sys.stderr,
     )
 
+    from tpurt.render import prepare
+
+    plan = prepare(scene, cfg)
+    print(f"[bench] plan={plan.kind}", file=sys.stderr)
+
     if args.mode == "fwd":
-        fn = jax.jit(lambda s: render(s, cfg))
+        fn = jax.jit(lambda s: render(s, cfg, plan=plan))
     else:
         def loss(s):
-            return jnp.sum(render(s, cfg) ** 2)
+            return jnp.sum(render(s, cfg, plan=plan) ** 2)
 
         fn = jax.jit(lambda s: jax.grad(loss, allow_int=True)(s))
 

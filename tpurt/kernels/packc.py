@@ -113,7 +113,23 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
     aabb = aabb.at[0:3, :Ccount].set(lo.T)
     aabb = aabb.at[3:6, :Ccount].set(hi.T)
 
-    # resident spheres (forms shared with pack.py; attrs in traversal layout)
+    # resident spheres (forms shared with pack.py; attrs in traversal layout).
+    # Scenes with zero REAL spheres (mesh-only: configs 4/5) skip the sphere
+    # path entirely — n_sph_blocks = 0 removes one matmul+epilogue from every
+    # traversal pass.
+    if scene.n_real_spheres == 0:
+        return PackedClusters(
+            wtri_c=wtri_c,
+            attr_c=attr_c,
+            aabb=aabb,
+            wsph=jnp.zeros((8, 2 * LANES), C.DTYPE),
+            sattr=jnp.zeros((TROWS, LANES), C.DTYPE),
+            globals=PK.globals_vec(scene),
+            n_clusters=Ccount,
+            n_sph_blocks=0,
+            n_lights=scene.n_lights,
+            n_tris=scene.n_tris,
+        )
     S = scene.n_spheres
     S_pad = max(LANES, -(-S // LANES) * LANES)
     wsph = PK.block_major(

@@ -51,6 +51,16 @@ from tpurt.kernels.megakernel import (
 from tpurt.kernels.packc import LANES, TROWS, PackedClusters
 
 RAYS = 1024
+#: square pixel-tile geometry: RAYS = TILE_H × TILE_W.  Square tiles keep
+#: each tile's ray bundle a narrow frustum, which is what makes the
+#: conservative interval cull selective — a full-image-width row of rays
+#: fans across the whole horizontal FOV and culls almost nothing (measured:
+#: 28.5 s/frame row-tiled vs sub-second square-tiled on config 4).
+TILE_H = 32
+TILE_W = 32
+#: survivor-list capacity (SMEM); overflowing tiles fall back to streaming
+#: every cluster (correct, slow) — see `sovf`
+MAXS = 2048
 _BIG = 3.0e37
 
 
@@ -64,13 +74,13 @@ def _trav_kernel(
     # outputs
     id_ref, occ_ref,
     # scratch
-    maskv, masks, slist, scnt, wscr, ascr, tb, ab, ub, vb, occb, sems, ssem,
+    maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb, sems,
+    ssem,
     *, statics,
 ):
-    (H, W, max_depth, shadows, Ccount, nb_s, n_lights, T_total, R) = statics
+    (H, W, max_depth, shadows, Ccount, nb_s, n_lights, T_total, R, ntx) = statics
     f32 = jnp.float32
     C_pad = aabb_ref.shape[1]
-    pix0 = off_ref[0, 0] + pl.program_id(0) * R
 
     glob = glob_ref[...]
     aabb = aabb_ref[...]
@@ -82,10 +92,14 @@ def _trav_kernel(
     def g3(k):
         return (g(k), g(k + 1), g(k + 2))
 
-    # ---- ray-gen (identical to megakernel.py) -----------------------------
-    pix = pix0 + lax.broadcasted_iota(jnp.int32, (1, R), 1)
-    row = (pix // W).astype(f32)
-    colm = (pix % W).astype(f32)
+    # ---- ray-gen over a TILE_H × TILE_W pixel block -----------------------
+    t = pl.program_id(0)
+    bi = t // ntx
+    bj = t % ntx
+    k = lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    row0 = off_ref[0, 0]
+    row = (row0 + bi * TILE_H + k // TILE_W).astype(f32)
+    colm = (bj * TILE_W + k % TILE_W).astype(f32)
     aspect = W / H
     sx = (2.0 * (colm + 0.5) / W - 1.0) * aspect
     sy = 1.0 - 2.0 * (row + 0.5) / H
@@ -97,6 +111,26 @@ def _trav_kernel(
     iota_sub = lax.broadcasted_iota(jnp.int32, (LANES, R), 0)
     rows8 = lax.broadcasted_iota(jnp.int32, (8, R), 0)
 
+    # bit-pack weights for the compaction matmul (built once per tile):
+    # wpack[c, g] = 2^(c % 16) iff c // 16 == g.  Sums of ≤16 distinct
+    # powers of two stay < 2^16, exact in f32.  The matrix is built per
+    # PCHUNK lanes and reused across chunks — a single (C_pad, C_pad/16)
+    # matrix is O(C²) and hits 16 MB at 8k clusters.
+    NW = C_pad // 16
+    PCHUNK = min(C_pad, 2048)
+    NWC = PCHUNK // 16
+    cidx = lax.broadcasted_iota(jnp.int32, (PCHUNK, NWC), 0)
+    gidx = lax.broadcasted_iota(jnp.int32, (PCHUNK, NWC), 1)
+    # powers of two via integer shifts, NOT exp2: transcendental exp2(15)
+    # evaluates a hair below 32768 and the int cast truncates, corrupting
+    # every bit of the word
+    wpack = jnp.where(
+        (cidx // 16) == gidx,
+        jnp.left_shift(1, cidx % 16).astype(f32),
+        0.0,
+    )
+    lanes_nw = lax.broadcasted_iota(jnp.int32, (1, NW), 1)
+
     def build_X(o3, d3):
         m = lambda k, v: jnp.where(rows8 == k, v, 0.0)        # noqa: E731
         return (
@@ -105,15 +139,21 @@ def _trav_kernel(
         )
 
     # ---- conservative interval cull (clusters in lanes) -------------------
-    def cull_to_smem(o3, d3):
+    def cull_to_smem(o3, d3, alive):
         """Survivor mask of the current ray set vs all cluster AABBs →
-        compacted index list in SMEM.  Conservative: a cluster any ray MIGHT
-        hit always survives."""
+        compacted index list in SMEM.  Conservative: a cluster any LIVE ray
+        might hit always survives.  The alive mask is essential, not an
+        optimization nicety: dead lanes carry garbage origins (p = o +
+        T_NONE·d ≈ ±1e30), and without masking one sky pixel per tile blows
+        the interval bounds open and the cull admits every cluster
+        (measured: 16 s/frame unmasked → sub-second masked, config 4)."""
         entry = jnp.full((1, C_pad), -_BIG, f32)
         exit_ = jnp.full((1, C_pad), _BIG, f32)
         for k in range(3):
-            o_lo, o_hi = jnp.min(o3[k]), jnp.max(o3[k])
-            d_lo, d_hi = jnp.min(d3[k]), jnp.max(d3[k])
+            o_lo = jnp.min(jnp.where(alive, o3[k], _BIG))
+            o_hi = jnp.max(jnp.where(alive, o3[k], -_BIG))
+            d_lo = jnp.min(jnp.where(alive, d3[k], _BIG))
+            d_hi = jnp.max(jnp.where(alive, d3[k], -_BIG))
             crosses = (d_lo < 1e-12) & (d_hi > -1e-12)
             lo_r = aabb[k : k + 1, :]
             hi_r = aabb[3 + k : 4 + k, :]
@@ -135,19 +175,57 @@ def _trav_kernel(
             k_hi = jnp.where(crosses, _BIG, k_hi)
             entry = jnp.maximum(entry, k_lo)
             exit_ = jnp.minimum(exit_, k_hi)
-        ok = (entry <= exit_) & (exit_ > 0.0)
-        maskv[...] = ok.astype(jnp.int32)
+        ok = (entry <= exit_) & (exit_ > 0.0) & jnp.any(alive)
+        ok = ok & (lax.broadcasted_iota(jnp.int32, (1, C_pad), 1) < Ccount)
+        # word-packed compaction: a serial scan of all C_pad lanes on the
+        # scalar core costs ~100 µs/pass; instead pack the mask into 16-bit
+        # words with one MXU matmul and let the scalar loop skip zero words
+        # (typical tiles survive a handful of clusters).
+        okf = ok.astype(f32)
+        words = jnp.zeros((1, NW), jnp.int32)
+        for ch in range(C_pad // PCHUNK):
+            wf = lax.dot_general(
+                okf[:, ch * PCHUNK : (ch + 1) * PCHUNK], wpack,
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+                precision=lax.Precision.HIGHEST,
+            )                                             # (1, NWC) exact ints
+            wi = jnp.round(wf).astype(jnp.int32)
+            # place chunk words into the full word vector via lane masking
+            in_ch = (lanes_nw >= ch * NWC) & (lanes_nw < (ch + 1) * NWC)
+            shifted = jnp.pad(wi, ((0, 0), (ch * NWC, NW - (ch + 1) * NWC)))
+            words = jnp.where(in_ch, shifted, words)
+        maskv[...] = words
         cp = pltpu.make_async_copy(maskv, masks, ssem)
         cp.start()
         cp.wait()
         scnt[0] = 0
-        def body(c, _):
-            @pl.when((masks[0, c] > 0) & (c < Ccount))
+        sovf[0] = 0
+
+        def outer(gword, _):
+            w = masks[0, gword]
+
+            @pl.when(w != 0)
             def _():
-                slist[scnt[0]] = c
-                scnt[0] = scnt[0] + 1
+                def inner(b, _):
+                    @pl.when(((w >> b) & 1) != 0)
+                    def _():
+                        k = scnt[0]
+
+                        @pl.when(k < MAXS)
+                        def _():
+                            slist[k] = gword * 16 + b
+
+                        @pl.when(k >= MAXS)
+                        def _():
+                            sovf[0] = 1
+                        scnt[0] = k + 1
+                    return 0
+
+                lax.fori_loop(0, 16, inner, 0, unroll=False)
             return 0
-        lax.fori_loop(0, C_pad, body, 0, unroll=False)
+
+        lax.fori_loop(0, C_pad // 16, outer, 0, unroll=False)
 
     # ---- primitive-block math (same forms as megakernel.py) ---------------
     def tri_math(wblk, X, t_hi):
@@ -209,13 +287,24 @@ def _trav_kernel(
             )
         return ops
 
+    def survivors():
+        """Effective survivor count + id lookup; a tile that overflowed the
+        SMEM list degrades to streaming every cluster (correct, slower)."""
+        ovf = sovf[0] == 1
+        n = jnp.where(ovf, Ccount, jnp.minimum(scnt[0], MAXS))
+
+        def sid(j):
+            return jnp.where(ovf, j, slist[jnp.minimum(j, MAXS - 1)])
+
+        return n, sid
+
     def cluster_loop(X, with_attrs, occ_update=None, t_hi_vec=None):
         """Double-buffered streaming over the SMEM survivor list."""
-        n = scnt[0]
+        n, sid = survivors()
 
         @pl.when(n > 0)
         def _():
-            for op in dmas(0, slist[0], with_attrs):
+            for op in dmas(0, sid(0), with_attrs):
                 op.start()
 
             def body(j, _):
@@ -223,10 +312,10 @@ def _trav_kernel(
 
                 @pl.when(j + 1 < n)
                 def _():
-                    for op in dmas((j + 1) % 2, slist[j + 1], with_attrs):
+                    for op in dmas((j + 1) % 2, sid(j + 1), with_attrs):
                         op.start()
 
-                for op in dmas(slot, slist[j], with_attrs):
+                for op in dmas(slot, sid(j), with_attrs):
                     op.wait()
                 t_hi = C.T_MAX if t_hi_vec is None else t_hi_vec
                 tm, u, v = tri_math(wscr[slot], X, t_hi)
@@ -238,14 +327,14 @@ def _trav_kernel(
 
             lax.fori_loop(0, n, body, 0, unroll=False)
 
-    def closest(o3, d3):
+    def closest(o3, d3, alive):
         """Best hit → (t, attrs (TROWS,R), u, v) via scratch refs."""
         X = build_X(o3, d3)
         tb[...] = jnp.full((1, R), C.T_NONE, f32)
         ab[...] = jnp.zeros((TROWS, R), f32)
         ub[...] = jnp.zeros((1, R), f32)
         vb[...] = jnp.zeros((1, R), f32)
-        cull_to_smem(o3, d3)
+        cull_to_smem(o3, d3, alive)
         cluster_loop(X, with_attrs=True)
         oo = _dot3(o3, o3)
         od = _dot3(o3, d3)
@@ -255,18 +344,55 @@ def _trav_kernel(
             fold(tm, zero, zero, sattr_ref[:, b * LANES : (b + 1) * LANES])
         return tb[...], ab[...], ub[...], vb[...]
 
-    def occluded(o3, d3, tmax):
-        """Any-hit within (T_MIN, tmax) → (1, R) bool."""
+    def occluded(o3, d3, tmax, alive):
+        """Any-hit within (T_MIN, tmax) → (1, R) bool.
+
+        Early exit: shadow rays saturate (a corridor of geometry occludes
+        every live lane) far before the survivor list is exhausted; the
+        while_loop stops once no live lane remains unoccluded.  The next
+        DMA is started BEFORE the current cluster's compute (overlap), and
+        only when the pre-compute state says we will continue — so at most
+        one extra cluster runs after saturation and no semaphore is left
+        signaled for the next pass."""
         X = build_X(o3, d3)
         occb[...] = jnp.zeros((1, R), jnp.int32)
-        cull_to_smem(o3, d3)
+        alive_i = alive.astype(jnp.int32)
+        cull_to_smem(o3, d3, alive)
 
         def upd(tm):
             occb[...] = occb[...] | jnp.any(
                 tm < tmax, axis=0, keepdims=True
             ).astype(jnp.int32)
 
-        cluster_loop(X, with_attrs=False, occ_update=upd, t_hi_vec=tmax)
+        n, sid = survivors()
+
+        @pl.when(n > 0)
+        def _():
+            for op in dmas(0, sid(0), False):
+                op.start()
+
+            def cond(carry):
+                return carry[1]
+
+            def body(carry):
+                j, _ = carry
+                slot = j % 2
+                for op in dmas(slot, sid(j), False):
+                    op.wait()
+                unocc = jnp.any((alive_i - occb[...]) > 0)
+                nxt = (j + 1 < n) & unocc
+
+                @pl.when(nxt)
+                def _():
+                    for op in dmas((j + 1) % 2, sid(j + 1), False):
+                        op.start()
+
+                tm, _, _ = tri_math(wscr[slot], X, tmax)
+                upd(tm)
+                return (j + 1, nxt)
+
+            lax.while_loop(cond, body, (0, n > 0))
+
         oo = _dot3(o3, o3)
         od = _dot3(o3, d3)
         for b in range(nb_s):
@@ -277,9 +403,12 @@ def _trav_kernel(
         return occb[...] > 0
 
     # ---- Whitted record loop ---------------------------------------------
+    # alive: in-image lanes that are still on a live reflection path; dead
+    # lanes keep computing (SIMD) but never influence the cull
+    alive = (row < float(H)) & (colm < float(W))
     for depth in range(max_depth + 1):
-        t, a, u, v = closest(o, d)
-        hit = t < C.T_MAX
+        t, a, u, v = closest(o, d, alive)
+        hit = (t < C.T_MAX) & alive
 
         def a1(k):
             return a[k : k + 1]
@@ -313,26 +442,31 @@ def _trav_kernel(
                 to_l = _sub3(lpos, p)
                 dist = jnp.sqrt(_dot3(to_l, to_l))
                 ldir = _scale3(to_l, 1.0 / jnp.maximum(dist, 1e-20))
-                occ = occluded(p_off, ldir, dist - C.RAY_OFFSET_EPS)
+                occ = occluded(p_off, ldir, dist - C.RAY_OFFSET_EPS, hit)
                 occ_bits = occ_bits | jnp.where(occ, 1 << li, 0)
         occ_ref[depth : depth + 1, :] = occ_bits
 
         o = p_off
         d = _reflect3(d, n)
+        alive = hit
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrapper + public clustered render path
 # ---------------------------------------------------------------------------
-def trace_records(packed: PackedClusters, config, off, n_pix: int):
-    """Run the traversal kernel → (ids, occ) each (D, ntiles·RAYS) int32.
+def trace_records(packed: PackedClusters, config, row0, nrows: int):
+    """Run the traversal kernel → (ids, occ) each (D, ntiles·RAYS) int32,
+    tile-major (reassembled into image order by render_rows_clustered).
 
     ids: global primitive id per bounce (-1 miss; >= n_tris ⇒ sphere).
     Inputs are stop_gradient'ed: topology is non-differentiable by design
     (gradients flow through deferred shading instead)."""
     packed = jax.lax.stop_gradient(packed)
     D = config.max_depth + 1
-    ntiles = -(-n_pix // RAYS)
+    W = config.width
+    nty = -(-nrows // TILE_H)
+    ntx = -(-W // TILE_W)
+    ntiles = nty * ntx
     C_pad = packed.aabb.shape[1]
     glob = packed.globals
     gpad = -(-glob.shape[1] // LANES) * LANES
@@ -340,9 +474,9 @@ def trace_records(packed: PackedClusters, config, off, n_pix: int):
     statics = (
         config.height, config.width, config.max_depth, config.shadows,
         packed.n_clusters, packed.n_sph_blocks, packed.n_lights,
-        packed.n_tris, RAYS,
+        packed.n_tris, RAYS, ntx,
     )
-    off = jnp.asarray(off, jnp.int32).reshape(1, 1)
+    off = jnp.asarray(row0, jnp.int32).reshape(1, 1)
     ids, occ = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
@@ -364,10 +498,11 @@ def trace_records(packed: PackedClusters, config, off, n_pix: int):
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, C_pad), jnp.int32),        # maskv
-            pltpu.SMEM((1, C_pad), jnp.int32),        # masks
-            pltpu.SMEM((C_pad,), jnp.int32),          # slist
+            pltpu.VMEM((1, C_pad // 16), jnp.int32),  # maskv (packed words)
+            pltpu.SMEM((1, C_pad // 16), jnp.int32),  # masks (packed words)
+            pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
             pltpu.SMEM((1,), jnp.int32),              # scnt
+            pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
             pltpu.VMEM((2, 8, 6 * LANES), jnp.float32),   # wscr
             pltpu.VMEM((2, TROWS, LANES), jnp.float32),   # ascr
             pltpu.VMEM((1, RAYS), jnp.float32),       # tb
@@ -384,6 +519,16 @@ def trace_records(packed: PackedClusters, config, off, n_pix: int):
     return ids, occ
 
 
+def _untile(x, nrows, W):
+    """(D, ntiles·RAYS) tile-major → (D, nrows·W) image-major."""
+    D = x.shape[0]
+    nty = -(-nrows // TILE_H)
+    ntx = -(-W // TILE_W)
+    x = x.reshape(D, nty, ntx, TILE_H, TILE_W)
+    x = x.transpose(0, 1, 3, 2, 4).reshape(D, nty * TILE_H, ntx * TILE_W)
+    return x[:, :nrows, :W].reshape(D, nrows * W)
+
+
 def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
     """Cluster-traversal render of rows [row0, row0+nrows): traversal kernel
     finds topology, deferred shading reconstructs the image differentiably."""
@@ -394,10 +539,9 @@ def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
     packed = pack_clusters(scene, tri_ids)
     W = config.width
     n_pix = nrows * W
-    off = jnp.asarray(row0, jnp.int32) * W
-    ids, occ = trace_records(packed, config, off, n_pix)
-    ids = ids[:, :n_pix]
-    occ = occ[:, :n_pix]
+    ids, occ = trace_records(packed, config, row0, nrows)
+    ids = _untile(ids, nrows, W)
+    occ = _untile(occ, nrows, W)
 
     T = scene.n_tris
     miss = ids < 0

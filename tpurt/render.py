@@ -63,14 +63,19 @@ def prepare(scene, config: RenderConfig | None = None, accel=None) -> RenderPlan
     # everything else — big scenes AND textured scenes of any size — goes
     # through cluster traversal + deferred shading (textures are sampled in
     # the deferred pass)
-    from tpurt.accel import build_clusters, build_grid
+    from tpurt.accel.native import build_clusters_native, build_grid_native
 
-    verts = np.asarray(scene.vertices)
-    tris = np.asarray(scene.triangles)
-    if accel == "grid":
-        cs = build_grid(verts, tris).clusters
+    host = getattr(scene, "host_mesh", None)
+    if host is not None:
+        verts, tris = host
     else:
-        cs = build_clusters(verts, tris)
+        verts = np.asarray(scene.vertices)
+        tris = np.asarray(scene.triangles)
+    # native C++ builders (tpurt/native) with transparent numpy fallback
+    if accel == "grid":
+        cs = build_grid_native(verts, tris)
+    else:
+        cs = build_clusters_native(verts, tris)
     return RenderPlan(tri_ids=jnp.asarray(cs.tri_ids), kind="clusters")
 
 

@@ -96,7 +96,7 @@ class Camera:
         return fwd, right, true_up
 
 
-@pytree_dataclass(meta_fields=("smooth", "textured"))
+@pytree_dataclass(meta_fields=("smooth", "textured", "n_real_spheres"))
 class Scene:
     """Full scene: geometry + materials + lights + camera, all jnp SoA.
 
@@ -137,6 +137,9 @@ class Scene:
     #: static flag: any material references a texture (lets backends decide
     #: kernel applicability without inspecting traced data)
     textured: bool = False
+    #: number of user (non-pad) spheres; -1 = unknown (treat all as real).
+    #: Kernels skip the sphere path entirely when this is 0.
+    n_real_spheres: int = -1
 
     # shapes are static under jit — safe to expose as python ints
     @property
@@ -234,7 +237,7 @@ def build_scene(
         textures = np.ones((1, 8, 8, 3), np.float32)
     camera = camera or Camera.make((0.0, 0.0, 5.0), (0.0, 0.0, 0.0))
 
-    return Scene(
+    scene = Scene(
         vertices=jnp.asarray(verts),
         triangles=jnp.asarray(tris),
         tri_mat=jnp.asarray(tmat),
@@ -253,7 +256,15 @@ def build_scene(
         camera=camera,
         smooth=smooth,
         textured=has_tex,
+        n_real_spheres=len(spheres),
     )
+    # stash the host-side mesh on the instance (NOT a pytree field): accel
+    # builders need concrete geometry, and fetching device arrays back
+    # through a slow transport can dwarf the build itself.  Instances
+    # produced by tree ops (jit, grad, replace) lose the stash and
+    # prepare() falls back to a device fetch.
+    object.__setattr__(scene, "host_mesh", (verts, tris))
+    return scene
 
 
 def _vertex_normals(verts: np.ndarray, tris: np.ndarray) -> np.ndarray:
