@@ -1,0 +1,39 @@
+"""Golden-image regression (SURVEY.md §4 item 3): committed PNGs of the five
+benchmark configs, rendered by the frozen oracle.  A diff here means a
+parity-critical convention drifted (tpurt/constants.py) or a scene config
+changed — both must be deliberate, with goldens regenerated via
+`python /tmp/gen_golden.py`-style script (see git history).
+
+PNG quantization (8-bit) absorbs float jitter; tolerance is 2/255 per
+channel plus a 0.1% pixel budget for boundary flips across BLAS/XLA
+versions.
+"""
+import os
+
+import numpy as np
+import pytest
+
+from tpurt.ref import render_ref
+from tpurt.scene import configs
+from tpurt.utils import load_png
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden")
+
+SPECS = {
+    "config1": (configs.config1_sphere, (64, 64), {}),
+    "config2": (configs.config2_cornell, (64, 64), {}),
+    "config3": (configs.config3_spheres, (64, 64), {}),
+    "config4": (configs.config4_bunny, (64, 64), {"subdiv": 3}),
+    "config5": (configs.config5_multimesh, (48, 64), {"n_blobs": 3, "subdiv": 2}),
+}
+
+
+@pytest.mark.parametrize("name", list(SPECS))
+def test_golden(name):
+    build, res, kw = SPECS[name]
+    scene, cfg = build(*res, **kw)
+    img = np.asarray(render_ref(scene, config=cfg))
+    gold = load_png(os.path.join(GOLDEN, f"{name}.png"))
+    diff = np.abs(img - gold).max(-1)
+    bad = diff > (2.5 / 255.0)
+    assert bad.mean() < 1e-3, f"{name}: {bad.sum()} pixels differ (max {diff.max():.4f})"
