@@ -118,6 +118,41 @@ def cmd_inverse(args):
         print(json.dumps({"checkpoint": args.ckpt}))
 
 
+def cmd_animate(args):
+    """Frame loop (the reference's interactive render loop, SURVEY.md §1a
+    "App / main"): orbit the camera, re-render per frame.  The jitted render
+    is compiled once; only camera params change per frame."""
+    import dataclasses as dc
+    import math
+
+    import numpy as np
+
+    from tpurt.render import prepare, render
+    from tpurt.scene.scene import Camera
+    from tpurt.utils import save_png
+
+    scene, cfg = _build_scene(args)
+    plan = prepare(scene, cfg)
+    eye0 = np.asarray(scene.camera.eye)
+    look = np.asarray(scene.camera.look_at)
+    rel = eye0 - look
+    radius = float(np.hypot(rel[0], rel[2]))
+    phi0 = math.atan2(rel[2], rel[0])
+    t0 = time.time()
+    with _maybe_profile(args.profile):
+        for f in range(args.frames):
+            phi = phi0 + math.radians(args.orbit) * f / max(args.frames, 1)
+            eye = (look[0] + radius * math.cos(phi), float(eye0[1]),
+                   look[2] + radius * math.sin(phi))
+            cam = Camera.make(eye, tuple(look), fov_y=float(scene.camera.fov_y))
+            s = dc.replace(scene, camera=cam)
+            img = np.asarray(render(s, cfg, plan=plan))
+            save_png(args.out.format(f), img)
+    dt = time.time() - t0
+    print(json.dumps({"frames": args.frames, "seconds": round(dt, 2),
+                      "fps": round(args.frames / dt, 2)}))
+
+
 def cmd_multihost_render(args):
     """Multi-host SPMD render: every host runs this same command
     (SURVEY.md §5 "Distributed communication backend")."""
@@ -176,6 +211,14 @@ def main(argv=None):
     sp.add_argument("--out", type=str, default=None)
     sp.add_argument("--ckpt", type=str, default=None)
     sp.set_defaults(fn=cmd_inverse)
+
+    sp = sub.add_parser("animate")
+    common(sp)
+    sp.add_argument("--frames", type=int, default=24)
+    sp.add_argument("--orbit", type=float, default=360.0,
+                    help="total camera orbit in degrees")
+    sp.add_argument("--out", type=str, default="frame_{:03d}.png")
+    sp.set_defaults(fn=cmd_animate)
 
     sp = sub.add_parser("multihost-render")
     common(sp)

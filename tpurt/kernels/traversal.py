@@ -51,6 +51,9 @@ from tpurt.kernels.megakernel import (
 from tpurt.kernels.packc import LANES, TROWS, PackedClusters
 
 RAYS = 1024
+#: rays per compute sub-chunk: surviving clusters are intersected per chunk,
+#: gated by the chunk's own cull bit — quarter-tile culling w/o extra DMA
+NCH = 4
 #: square pixel-tile geometry: RAYS = TILE_H × TILE_W.  Square tiles keep
 #: each tile's ray bundle a narrow frustum, which is what makes the
 #: conservative interval cull selective — a full-image-width row of rays
@@ -81,6 +84,7 @@ def _trav_kernel(
     (H, W, max_depth, shadows, Ccount, nb_s, n_lights, T_total, R, ntx) = statics
     f32 = jnp.float32
     C_pad = aabb_ref.shape[1]
+    RCH = R // NCH
 
     glob = glob_ref[...]
     aabb = aabb_ref[...]
@@ -139,29 +143,65 @@ def _trav_kernel(
         )
 
     # ---- conservative interval cull (clusters in lanes) -------------------
+    # Row 0 tests the whole tile's ray bundle (→ the DMA survivor list);
+    # rows 1..NCH test RCH-ray sub-chunks (→ per-chunk compute-skip bits in
+    # the streaming loop).  All rows ride in sublanes, so the sub-chunk
+    # tests are nearly free on the VPU.
+    GRPS = 1 + NCH
+
+    grow = lax.broadcasted_iota(jnp.int32, (GRPS, 1), 0)
+
+    def gcol(vals):
+        """List of GRPS scalars → (GRPS, 1) column (no small concats)."""
+        out = jnp.zeros((GRPS, 1), f32)
+        for k, v in enumerate(vals):
+            out = jnp.where(grow == k, v, out)
+        return out
+
     def cull_to_smem(o3, d3, alive):
-        """Survivor mask of the current ray set vs all cluster AABBs →
-        compacted index list in SMEM.  Conservative: a cluster any LIVE ray
-        might hit always survives.  The alive mask is essential, not an
-        optimization nicety: dead lanes carry garbage origins (p = o +
-        T_NONE·d ≈ ±1e30), and without masking one sky pixel per tile blows
-        the interval bounds open and the cull admits every cluster
-        (measured: 16 s/frame unmasked → sub-second masked, config 4)."""
-        entry = jnp.full((1, C_pad), -_BIG, f32)
-        exit_ = jnp.full((1, C_pad), _BIG, f32)
+        """Survivor masks of the current ray set vs all cluster AABBs →
+        compacted whole-tile index list + per-chunk bits in SMEM.
+        Conservative: a cluster any LIVE ray might hit always survives.
+        The alive mask is essential, not an optimization nicety: dead lanes
+        carry garbage origins (p = o + T_NONE·d ≈ ±1e30), and without
+        masking one sky pixel per tile blows the interval bounds open and
+        the cull admits every cluster (measured: 16 s/frame unmasked →
+        ~1 s masked, config 4)."""
+
+        def bounds(x, lo):
+            """Per-group masked min/max of a (1, R) row → GRPS scalars."""
+            vals = []
+            for g in range(GRPS):
+                sl = (
+                    slice(None)
+                    if g == 0
+                    else slice((g - 1) * RCH, g * RCH)
+                )
+                xm = jnp.where(alive[:, sl], x[:, sl], _BIG if lo else -_BIG)
+                vals.append(jnp.min(xm) if lo else jnp.max(xm))
+            return vals
+
+        entry = jnp.full((GRPS, C_pad), -_BIG, f32)
+        exit_ = jnp.full((GRPS, C_pad), _BIG, f32)
+        any_alive = []
+        for g in range(GRPS):
+            sl = slice(None) if g == 0 else slice((g - 1) * RCH, g * RCH)
+            any_alive.append(jnp.any(alive[:, sl]).astype(f32))
+        any_col = gcol(any_alive) > 0.5
+
         for k in range(3):
-            o_lo = jnp.min(jnp.where(alive, o3[k], _BIG))
-            o_hi = jnp.max(jnp.where(alive, o3[k], -_BIG))
-            d_lo = jnp.min(jnp.where(alive, d3[k], _BIG))
-            d_hi = jnp.max(jnp.where(alive, d3[k], -_BIG))
-            crosses = (d_lo < 1e-12) & (d_hi > -1e-12)
+            o_lo = gcol(bounds(o3[k], True))
+            o_hi = gcol(bounds(o3[k], False))
+            d_lo = gcol(bounds(d3[k], True))
+            d_hi = gcol(bounds(d3[k], False))
+            crosses = (d_lo < 1e-12) & (d_hi > -1e-12)        # (GRPS, 1)
             lo_r = aabb[k : k + 1, :]
             hi_r = aabb[3 + k : 4 + k, :]
-            k_lo = jnp.full((1, C_pad), _BIG, f32)
-            k_hi = jnp.full((1, C_pad), -_BIG, f32)
+            k_lo = jnp.full((GRPS, C_pad), _BIG, f32)
+            k_hi = jnp.full((GRPS, C_pad), -_BIG, f32)
             for B in (lo_r, hi_r):
                 for on in (o_lo, o_hi):
-                    num = B - on
+                    num = B - on                              # (GRPS, C_pad)
                     for dn in (d_lo, d_hi):
                         safe = jnp.where(
                             jnp.abs(dn) < 1e-12,
@@ -175,21 +215,21 @@ def _trav_kernel(
             k_hi = jnp.where(crosses, _BIG, k_hi)
             entry = jnp.maximum(entry, k_lo)
             exit_ = jnp.minimum(exit_, k_hi)
-        ok = (entry <= exit_) & (exit_ > 0.0) & jnp.any(alive)
-        ok = ok & (lax.broadcasted_iota(jnp.int32, (1, C_pad), 1) < Ccount)
+        ok = (entry <= exit_) & (exit_ > 0.0) & any_col
+        ok = ok & (lax.broadcasted_iota(jnp.int32, (GRPS, C_pad), 1) < Ccount)
         # word-packed compaction: a serial scan of all C_pad lanes on the
         # scalar core costs ~100 µs/pass; instead pack the mask into 16-bit
         # words with one MXU matmul and let the scalar loop skip zero words
         # (typical tiles survive a handful of clusters).
         okf = ok.astype(f32)
-        words = jnp.zeros((1, NW), jnp.int32)
+        words = jnp.zeros((GRPS, NW), jnp.int32)
         for ch in range(C_pad // PCHUNK):
             wf = lax.dot_general(
                 okf[:, ch * PCHUNK : (ch + 1) * PCHUNK], wpack,
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
                 precision=lax.Precision.HIGHEST,
-            )                                             # (1, NWC) exact ints
+            )                                          # (GRPS, NWC) exact ints
             wi = jnp.round(wf).astype(jnp.int32)
             # place chunk words into the full word vector via lane masking
             in_ch = (lanes_nw >= ch * NWC) & (lanes_nw < (ch + 1) * NWC)
@@ -233,7 +273,7 @@ def _trav_kernel(
             wblk, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
             precision=lax.Precision.HIGHEST,
-        ).reshape(6, LANES, R)
+        ).reshape(6, LANES, X.shape[1])
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
         safe_nd = jnp.where(good, ndd, 1.0)
@@ -262,22 +302,26 @@ def _trav_kernel(
         t1_ok = has & (t1 > C.T_MIN) & (t1 < t_hi)
         return jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, C.T_NONE))
 
-    def fold(tm, u, v, attr_blk):
+    iota_ch = lax.broadcasted_iota(jnp.int32, (LANES, RAYS // NCH), 0)
+
+    def fold(tm, u, v, attr_blk, sl=slice(None), iota=None):
+        """Fold (128, chunk) candidates into the chunk slice of the bests."""
+        iota = iota_sub if iota is None else iota
         bt = jnp.min(tm, axis=0, keepdims=True)
-        bidx = jnp.min(jnp.where(tm == bt, iota_sub, LANES), axis=0, keepdims=True)
-        onehot = (iota_sub == bidx).astype(f32)
+        bidx = jnp.min(jnp.where(tm == bt, iota, LANES), axis=0, keepdims=True)
+        onehot = (iota == bidx).astype(f32)
         cand = lax.dot_general(
             attr_blk, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=f32,
             precision=lax.Precision.HIGHEST,
-        )  # (TROWS, R)
+        )  # (TROWS, chunk)
         cu = jnp.sum(onehot * u, axis=0, keepdims=True)
         cv = jnp.sum(onehot * v, axis=0, keepdims=True)
-        imp = bt < tb[...]
-        tb[...] = jnp.where(imp, bt, tb[...])
-        ab[...] = jnp.where(imp, cand, ab[...])
-        ub[...] = jnp.where(imp, cu, ub[...])
-        vb[...] = jnp.where(imp, cv, vb[...])
+        imp = bt < tb[:, sl]
+        tb[:, sl] = jnp.where(imp, bt, tb[:, sl])
+        ab[:, sl] = jnp.where(imp, cand, ab[:, sl])
+        ub[:, sl] = jnp.where(imp, cu, ub[:, sl])
+        vb[:, sl] = jnp.where(imp, cv, vb[:, sl])
 
     def dmas(slot, c, with_attrs):
         ops = [pltpu.make_async_copy(wtri_hbm.at[c], wscr.at[slot], sems.at[slot, 0])]
@@ -309,6 +353,7 @@ def _trav_kernel(
 
             def body(j, _):
                 slot = j % 2
+                c = sid(j)
 
                 @pl.when(j + 1 < n)
                 def _():
@@ -317,12 +362,20 @@ def _trav_kernel(
 
                 for op in dmas(slot, sid(j), with_attrs):
                     op.wait()
-                t_hi = C.T_MAX if t_hi_vec is None else t_hi_vec
-                tm, u, v = tri_math(wscr[slot], X, t_hi)
-                if occ_update is None:
-                    fold(tm, u, v, ascr[slot])
-                else:
-                    occ_update(tm)
+                cw = c // 16
+                cb = c % 16
+                for ch in range(NCH):
+                    bit = (masks[1 + ch, cw] >> cb) & 1
+
+                    @pl.when(bit != 0)
+                    def _(ch=ch):
+                        sl = slice(ch * RCH, (ch + 1) * RCH)
+                        t_hi = C.T_MAX if t_hi_vec is None else t_hi_vec[:, sl]
+                        tm, u, v = tri_math(wscr[slot], X[:, sl], t_hi)
+                        if occ_update is None:
+                            fold(tm, u, v, ascr[slot], sl, iota_ch)
+                        else:
+                            occ_update(tm, sl)
                 return 0
 
             lax.fori_loop(0, n, body, 0, unroll=False)
@@ -359,9 +412,9 @@ def _trav_kernel(
         alive_i = alive.astype(jnp.int32)
         cull_to_smem(o3, d3, alive)
 
-        def upd(tm):
-            occb[...] = occb[...] | jnp.any(
-                tm < tmax, axis=0, keepdims=True
+        def upd(tm, sl=slice(None)):
+            occb[:, sl] = occb[:, sl] | jnp.any(
+                tm < tmax[:, sl], axis=0, keepdims=True
             ).astype(jnp.int32)
 
         n, sid = survivors()
@@ -377,7 +430,8 @@ def _trav_kernel(
             def body(carry):
                 j, _ = carry
                 slot = j % 2
-                for op in dmas(slot, sid(j), False):
+                c = sid(j)
+                for op in dmas(slot, c, False):
                     op.wait()
                 unocc = jnp.any((alive_i - occb[...]) > 0)
                 nxt = (j + 1 < n) & unocc
@@ -387,8 +441,16 @@ def _trav_kernel(
                     for op in dmas((j + 1) % 2, sid(j + 1), False):
                         op.start()
 
-                tm, _, _ = tri_math(wscr[slot], X, tmax)
-                upd(tm)
+                cw = c // 16
+                cb = c % 16
+                for ch in range(NCH):
+                    bit = (masks[1 + ch, cw] >> cb) & 1
+
+                    @pl.when(bit != 0)
+                    def _(ch=ch):
+                        sl = slice(ch * RCH, (ch + 1) * RCH)
+                        tm, _, _ = tri_math(wscr[slot], X[:, sl], tmax[:, sl])
+                        upd(tm, sl)
                 return (j + 1, nxt)
 
             lax.while_loop(cond, body, (0, n > 0))
@@ -498,8 +560,8 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int):
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((1, C_pad // 16), jnp.int32),  # maskv (packed words)
-            pltpu.SMEM((1, C_pad // 16), jnp.int32),  # masks (packed words)
+            pltpu.VMEM((1 + NCH, C_pad // 16), jnp.int32),  # maskv (packed)
+            pltpu.SMEM((1 + NCH, C_pad // 16), jnp.int32),  # masks (packed)
             pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
             pltpu.SMEM((1,), jnp.int32),              # scnt
             pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
@@ -536,10 +598,12 @@ def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
     from tpurt.kernels.packc import pack_clusters
     from tpurt.shading.deferred import HitRecords, shade_from_records
 
-    packed = pack_clusters(scene, tri_ids)
+    with jax.named_scope("tpurt.pack_clusters"):
+        packed = pack_clusters(scene, tri_ids)
     W = config.width
     n_pix = nrows * W
-    ids, occ = trace_records(packed, config, row0, nrows)
+    with jax.named_scope("tpurt.traversal"):
+        ids, occ = trace_records(packed, config, row0, nrows)
     ids = _untile(ids, nrows, W)
     occ = _untile(occ, nrows, W)
 
@@ -550,8 +614,9 @@ def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
     recs = HitRecords(prim=prim, is_tri=is_tri, occ=occ)
 
     o, d = geom.generate_rays(scene.camera, config.height, W, row0, nrows)
-    colors = shade_from_records(
-        scene, o.reshape(-1, 3), d.reshape(-1, 3), recs,
-        config.max_depth, config.shadows,
-    )
+    with jax.named_scope("tpurt.deferred_shading"):
+        colors = shade_from_records(
+            scene, o.reshape(-1, 3), d.reshape(-1, 3), recs,
+            config.max_depth, config.shadows,
+        )
     return colors.reshape(nrows, W, 3)

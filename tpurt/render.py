@@ -60,6 +60,15 @@ def prepare(scene, config: RenderConfig | None = None, accel=None) -> RenderPlan
 
     if megakernel.supports(scene, config) and accel == "auto":
         return RenderPlan(tri_ids=None, kind="phase1")
+    if isinstance(scene.vertices, jax.core.Tracer) and getattr(
+        scene, "host_mesh", None
+    ) is None:
+        raise ValueError(
+            "prepare() needs concrete scene geometry to build acceleration "
+            "structures, but the scene is traced (inside jit/grad) and has "
+            "no host-side mesh stash. Call prepare() once on the template "
+            "scene outside jit and pass the plan to render()/make_train_step()."
+        )
     # everything else — big scenes AND textured scenes of any size — goes
     # through cluster traversal + deferred shading (textures are sampled in
     # the deferred pass)
