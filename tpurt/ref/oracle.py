@@ -112,7 +112,10 @@ def shade_hits(scene, o, d, rec, shadows=True):
     """
     p, n, mat = hit_geometry(scene, o, d, rec)
     m = scene.materials
-    tex = _sample_texture(scene, mat, _hit_uv(scene, rec))
+    if scene.textured:
+        tex = _sample_texture(scene, mat, _hit_uv(scene, rec))
+    else:
+        tex = 1.0  # static: untextured scenes skip the texel gathers
     ka = m.ka[mat]
     kd = m.kd[mat] * tex
     ks = m.ks[mat]

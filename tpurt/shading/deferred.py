@@ -162,9 +162,12 @@ def shade_from_records(
         p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v)
 
         m = scene.materials
-        rec_dict = {"prim": jnp.maximum(prim, 0), "u": u, "v": v,
-                    "is_tri": is_tri}
-        tex = _sample_texture(scene, mat, _hit_uv(scene, rec_dict))
+        if scene.textured:
+            rec_dict = {"prim": jnp.maximum(prim, 0), "u": u, "v": v,
+                        "is_tri": is_tri}
+            tex = _sample_texture(scene, mat, _hit_uv(scene, rec_dict))
+        else:
+            tex = 1.0  # static: skip 12 texel gathers/pixel/bounce
         ka = m.ka[mat]
         kd = m.kd[mat] * tex
         ks = m.ks[mat]
