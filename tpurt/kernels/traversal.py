@@ -75,12 +75,19 @@ def _trav_kernel(
     # inputs
     off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref, wtri_hbm, attr_hbm,
     # outputs
-    id_ref, occ_ref,
+    id_ref, occ_ref, s_surv, s_pass, s_ovf,
     # scratch
     maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb, sems,
     ssem,
     *, statics,
 ):
+    # per-tile stats (SMEM rows, one lane per tile): survivors summed over
+    # passes / number of passes / overflow events — traversal observability
+    # (SURVEY.md §5 metrics), surfaced by traversal_stats()
+    tile_id = pl.program_id(0)
+    s_surv[0, tile_id] = 0
+    s_pass[0, tile_id] = 0
+    s_ovf[0, tile_id] = 0
     (H, W, max_depth, shadows, Ccount, nb_s, n_lights, T_total, R, ntx) = statics
     f32 = jnp.float32
     C_pad = aabb_ref.shape[1]
@@ -266,6 +273,9 @@ def _trav_kernel(
             return 0
 
         lax.fori_loop(0, C_pad // 16, outer, 0, unroll=False)
+        s_surv[0, tile_id] = s_surv[0, tile_id] + scnt[0]
+        s_pass[0, tile_id] = s_pass[0, tile_id] + 1
+        s_ovf[0, tile_id] = s_ovf[0, tile_id] + sovf[0]
 
     # ---- primitive-block math (same forms as megakernel.py) ---------------
     def tri_math(wblk, X, t_hi):
@@ -539,7 +549,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int):
         packed.n_tris, RAYS, ntx,
     )
     off = jnp.asarray(row0, jnp.int32).reshape(1, 1)
-    ids, occ = pl.pallas_call(
+    ids, occ, s_surv, s_pass, s_ovf = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -554,10 +564,16 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int):
         out_specs=[
             pl.BlockSpec((D, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((1 + NCH, C_pad // 16), jnp.int32),  # maskv (packed)
@@ -578,7 +594,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int):
         interpret=_interpret(),
     )(off, glob, packed.wsph, packed.sattr, packed.aabb,
       packed.wtri_c, packed.attr_c)
-    return ids, occ
+    return ids, occ, jnp.concatenate([s_surv, s_pass, s_ovf], axis=0)
 
 
 def _untile(x, nrows, W):
@@ -603,7 +619,7 @@ def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
     W = config.width
     n_pix = nrows * W
     with jax.named_scope("tpurt.traversal"):
-        ids, occ = trace_records(packed, config, row0, nrows)
+        ids, occ, _stats = trace_records(packed, config, row0, nrows)
     ids = _untile(ids, nrows, W)
     occ = _untile(occ, nrows, W)
 
@@ -620,3 +636,16 @@ def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
             config.max_depth, config.shadows,
         )
     return colors.reshape(nrows, W, 3)
+
+
+def traversal_stats(scene, config, tri_ids, row0=0, nrows=None):
+    """Per-tile traversal statistics for perf analysis: returns (ntiles, 8)
+    int32 — column 0: survivors streamed (summed over passes), column 1:
+    passes, column 2: SMEM survivor-list overflow events.  Feed the mean of
+    column 0 / column 1 into tpurt.utils.roofline.report()."""
+    from tpurt.kernels.packc import pack_clusters
+
+    nrows = config.height if nrows is None else nrows
+    packed = pack_clusters(scene, tri_ids)
+    _, _, stats = trace_records(packed, config, row0, nrows)
+    return stats  # (3, ntiles): survivors, passes, overflows
