@@ -353,21 +353,30 @@ def _trav_kernel(
         return n, sid
 
     def cluster_loop(X, with_attrs, occ_update=None, t_hi_vec=None):
-        """Double-buffered streaming over the SMEM survivor list."""
+        """Streaming over the SMEM survivor list with a DEPTH-deep DMA
+        pipeline: per-cluster compute (~0.7 µs) is shorter than HBM DMA
+        latency, so a 2-deep pipeline stalls on the wait; issuing several
+        clusters ahead keeps the DMA engine saturated."""
+        DEPTH = 4
         n, sid = survivors()
 
         @pl.when(n > 0)
         def _():
-            for op in dmas(0, sid(0), with_attrs):
-                op.start()
+            for ahead in range(DEPTH - 1):
+                @pl.when(ahead < n)
+                def _(ahead=ahead):
+                    for op in dmas(ahead % DEPTH, sid(ahead), with_attrs):
+                        op.start()
 
             def body(j, _):
-                slot = j % 2
+                slot = j % DEPTH
                 c = sid(j)
 
-                @pl.when(j + 1 < n)
+                @pl.when(j + DEPTH - 1 < n)
                 def _():
-                    for op in dmas((j + 1) % 2, sid(j + 1), with_attrs):
+                    for op in dmas(
+                        (j + DEPTH - 1) % DEPTH, sid(j + DEPTH - 1), with_attrs
+                    ):
                         op.start()
 
                 for op in dmas(slot, sid(j), with_attrs):
@@ -581,14 +590,14 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int):
             pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
             pltpu.SMEM((1,), jnp.int32),              # scnt
             pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
-            pltpu.VMEM((2, 8, 6 * LANES), jnp.float32),   # wscr
-            pltpu.VMEM((2, TROWS, LANES), jnp.float32),   # ascr
+            pltpu.VMEM((4, 8, 6 * LANES), jnp.float32),   # wscr
+            pltpu.VMEM((4, TROWS, LANES), jnp.float32),   # ascr
             pltpu.VMEM((1, RAYS), jnp.float32),       # tb
             pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
             pltpu.VMEM((1, RAYS), jnp.float32),       # ub
             pltpu.VMEM((1, RAYS), jnp.float32),       # vb
             pltpu.VMEM((1, RAYS), jnp.int32),         # occb
-            pltpu.SemaphoreType.DMA((2, 2)),          # sems[slot, stream]
+            pltpu.SemaphoreType.DMA((4, 2)),          # sems[slot, stream]
             pltpu.SemaphoreType.DMA(()),              # ssem (mask copy)
         ],
         interpret=_interpret(),
