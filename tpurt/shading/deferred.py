@@ -99,16 +99,19 @@ def _recompute_tuv(scene, o, d, prim, is_tri):
     v = vec.dot(d, qvec) * inv_det
     t_tri = vec.dot(e2, qvec) * inv_det
 
-    cen = scene.sph_center[pid]
-    rad = scene.sph_radius[pid]
-    oc = o - cen
-    b = vec.dot(oc, d)
-    disc = b * b - (vec.dot(oc, oc) - rad * rad)
-    has = disc > 0.0
-    sq = jnp.sqrt(jnp.where(has, disc, 1.0))
-    t0 = -b - sq
-    t0_ok = has & (t0 > C.T_MIN) & (t0 < C.T_MAX)
-    t_sph = jnp.where(t0_ok, t0, -b + sq)
+    if scene.n_real_spheres == 0:
+        t_sph = jnp.zeros_like(t_tri)  # static: mesh-only scene
+    else:
+        cen = scene.sph_center[pid]
+        rad = scene.sph_radius[pid]
+        oc = o - cen
+        b = vec.dot(oc, d)
+        disc = b * b - (vec.dot(oc, oc) - rad * rad)
+        has = disc > 0.0
+        sq = jnp.sqrt(jnp.where(has, disc, 1.0))
+        t0 = -b - sq
+        t0_ok = has & (t0 > C.T_MIN) & (t0 < C.T_MAX)
+        t_sph = jnp.where(t0_ok, t0, -b + sq)
 
     hit = prim >= 0
     t = jnp.where(is_tri, t_tri, t_sph)
@@ -135,6 +138,8 @@ def _hit_geometry(scene, o, d, t, prim, is_tri, u, v):
         e2 = scene.vertices[tri[..., 2]] - v0
         n_tri = vec.normalize(vec.cross(e1, e2))
     n_tri = jnp.where(vec.dot(n_tri, d)[..., None] > 0.0, -n_tri, n_tri)
+    if scene.n_real_spheres == 0:
+        return p, n_tri, scene.tri_mat[pid]
     n_sph = geom.sphere_normal(p, scene.sph_center[pid])
     n = jnp.where(is_tri[..., None], n_tri, n_sph)
     mat = jnp.where(is_tri, scene.tri_mat[pid], scene.sph_mat[pid])
