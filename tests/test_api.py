@@ -1,0 +1,73 @@
+"""Public-API coverage: render_and_grad, multihost entry point (single
+process), prepare() error behavior under tracing, RenderConfig plumbing."""
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpurt import RenderConfig, build_scene
+from tpurt.render import prepare, render, render_and_grad
+from tpurt.scene import configs
+
+
+def test_render_and_grad_public():
+    scene, cfg = configs.config2_cornell(16, 16)
+    (loss, img), grads = render_and_grad(scene, lambda im: jnp.sum(im**2), cfg)
+    assert np.isfinite(float(loss))
+    assert img.shape == (16, 16, 3)
+    g = np.asarray(grads.materials.kd)
+    assert np.isfinite(g).all() and np.abs(g).max() > 0
+
+
+def test_render_and_grad_clustered_plan():
+    scene, cfg = configs.config4_bunny(16, 16, subdiv=4)  # 5k tris > phase1 cap
+    plan = prepare(scene, cfg)
+    assert plan.kind == "clusters"
+    (loss, img), grads = render_and_grad(
+        scene, lambda im: jnp.mean(im), cfg, plan=plan
+    )
+    assert np.isfinite(float(loss))
+    assert np.abs(np.asarray(grads.vertices)).max() > 0
+
+
+def test_prepare_inside_jit_raises_clearly():
+    scene, cfg = configs.config4_bunny(8, 8, subdiv=4)  # forces cluster path
+
+    @jax.jit
+    def bad(s):
+        return render(s, cfg)  # no plan, traced scene, no host stash
+
+    import dataclasses
+
+    traced_scene = jax.tree_util.tree_map(lambda x: x, scene)  # drops stash
+    with pytest.raises(Exception) as ei:
+        bad(traced_scene)
+    assert "prepare" in str(ei.value) or "concrete" in str(ei.value).lower()
+
+
+def test_cli_multihost_render_single_process(tmp_path):
+    from tpurt.cli import main
+
+    out = str(tmp_path / "mh.png")
+    main(["multihost-render", "--config", "1", "--res", "16x16", "--out", out])
+    import os
+
+    from tpurt.utils import load_png
+
+    assert os.path.exists(out)
+    img = load_png(out)
+    assert img.shape == (16, 16, 3)
+
+
+def test_render_config_overrides():
+    scene, cfg = configs.config1_sphere(32, 32)
+    img = render(scene, cfg, height=8, width=8)
+    assert img.shape == (8, 8, 3)
+
+
+def test_scene_defaults_and_empty():
+    s = build_scene()
+    img = np.asarray(render(s, RenderConfig(height=8, width=8, max_depth=0)))
+    assert np.isfinite(img).all()
