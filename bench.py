@@ -30,6 +30,115 @@ def count_rays(cfg, scene) -> int:
     return cfg.height * cfg.width * (cfg.max_depth + 1) * per_bounce
 
 
+def run_verify() -> int:
+    """Scripted on-hardware verification tier (SURVEY.md §4 "benchmark
+    tier"): render small frames through every KERNEL path on the real
+    device, diff images and gradients against the frozen CPU oracle, print
+    one JSON line.  Exit code 0 iff every case passes.
+
+    Criteria per case: mean |Δ| < 1e-4 and at most 0.2% of pixels with
+    |Δ| > 1e-3 (isolated boundary pixels may legitimately flip when fp
+    rounding moves an intersection across a silhouette); gradient leaves
+    must be finite and match the oracle's to 1% relative tolerance.
+    """
+    import jax
+
+    # expose BOTH the accelerator and the CPU backend: the oracle tier runs
+    # on CPU in-process (the parity spec is "vs the CPU oracle").  Must land
+    # before first backend init; overrides the sitecustomize platform pin.
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+        jax.devices()
+    except Exception:
+        jax.config.update("jax_platforms", "cpu")
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpurt.render import prepare, render, render_and_grad
+    from tpurt.scene import configs
+
+    dev = jax.devices()[0]
+    cases = [
+        # (name, build(), accel, grad_leaves)
+        ("c1-phase1", lambda: configs.config1_sphere(64, 64), "auto",
+         ("light_color",)),
+        ("c2-phase1", lambda: configs.config2_cornell(64, 64), "auto",
+         ("light_color",)),
+        ("c3-phase1", lambda: configs.config3_spheres(64, 64), "auto",
+         ("light_color", "sph_center", "sph_radius")),
+        ("c3-clusters-wavefront", lambda: configs.config3_spheres(64, 64),
+         "bvh", ("light_color", "sph_center")),
+        ("c4-clusters", lambda: configs.config4_bunny(64, 64, subdiv=4),
+         "bvh", ("vertices", "light_color")),
+        ("c5-clusters-tex",
+         lambda: configs.config5_multimesh(48, 64, n_blobs=2, subdiv=4),
+         "bvh", ("light_color",)),
+        ("c4-grid", lambda: configs.config4_bunny(48, 48, subdiv=4), "grid",
+         ("light_color",)),
+    ]
+    results = []
+    ok_all = True
+    for name, build, accel, grad_leaves in cases:
+        scene, cfg = build()
+        plan = prepare(scene, cfg, accel=accel)
+
+        def loss(img):
+            return jnp.sum(img**2)
+
+        t0 = time.time()
+        (loss_k, img_k), grads_k = jax.jit(
+            lambda s: render_and_grad(s, loss, cfg, plan=plan)
+        )(scene)
+        img_k = np.asarray(img_k)
+        # oracle on the CPU backend of the same process (the frozen spec)
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            scene_cpu = jax.device_put(scene, cpu)
+            (loss_r, img_r), grads_r = render_and_grad(
+                scene_cpu, loss, cfg.replace(backend="oracle"),
+                plan=prepare(scene_cpu, cfg, accel="none"),
+            )
+        img_r = np.asarray(img_r)
+        d = np.abs(img_k - img_r)
+        mean_d = float(d.mean())
+        frac_bad = float((d.max(-1) > 1e-3).mean())
+        case_ok = mean_d < 1e-4 and frac_bad < 2e-3
+        grad_ok = True
+        for leaf in grad_leaves:
+            gk = np.asarray(getattr(grads_k, leaf))
+            gr = np.asarray(getattr(grads_r, leaf))
+            if not np.isfinite(gk).all():
+                grad_ok = False
+                continue
+            scale = np.abs(gr).max() + 1e-8
+            if np.abs(gk - gr).max() > 1e-2 * scale:
+                grad_ok = False
+        case_ok = case_ok and grad_ok
+        ok_all = ok_all and case_ok
+        results.append(
+            {
+                "case": name, "plan": plan.kind, "mean_diff": round(mean_d, 8),
+                "frac_bad_px": round(frac_bad, 6), "grads_ok": grad_ok,
+                "ok": case_ok, "secs": round(time.time() - t0, 1),
+            }
+        )
+        print(f"[verify] {results[-1]}", file=sys.stderr)
+    print(
+        json.dumps(
+            {
+                "metric": "verify-parity-cases-passed",
+                "value": sum(r["ok"] for r in results),
+                "unit": f"of {len(results)}",
+                "vs_baseline": None,
+                "device": str(dev),
+                "cases": results,
+            }
+        )
+    )
+    return 0 if ok_all else 1
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--config", type=int, default=3)
@@ -37,7 +146,12 @@ def main():
     ap.add_argument("--mode", type=str, default="fwdbwd", choices=["fwd", "fwdbwd"])
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--verify", action="store_true",
+                    help="run the on-hardware oracle-parity tier instead")
     args = ap.parse_args()
+
+    if args.verify:
+        sys.exit(run_verify())
 
     import jax
     import jax.numpy as jnp

@@ -92,3 +92,53 @@ def test_train_step_clustered_plan():
     assert np.isfinite(float(loss))
     # vertices actually moved (grads flowed through refit + traversal)
     assert not np.allclose(np.asarray(s2.vertices), np.asarray(scene.vertices))
+
+
+def test_wavefront_matches_multibounce_records_and_image():
+    """Wavefront re-binned bounces produce the same records + image as the
+    single multi-bounce kernel (config3: reflective spheres → live secondary
+    rays through argsort binning)."""
+    from tpurt.kernels.packc import pack_clusters
+
+    scene, cfg = configs.config3_spheres(32, 32)
+    tri_ids = _plan_for(scene)
+    packed = pack_clusters(scene, tri_ids)
+
+    ids_m, occ_m, _ = TV.trace_records(packed, cfg, 0, 32)
+    ids_m = TV._untile(ids_m, 32, 32)
+    occ_m = TV._untile(occ_m, 32, 32)
+    ids_w, occ_w = TV._wavefront_records(scene, cfg, packed, 0, 32)
+    np.testing.assert_array_equal(np.asarray(ids_w), np.asarray(ids_m))
+    np.testing.assert_array_equal(np.asarray(occ_w), np.asarray(occ_m))
+
+    img_w = np.asarray(
+        TV.render_rows_clustered(scene, cfg.replace(wavefront=True), tri_ids, 0, 32)
+    )
+    img_m = np.asarray(
+        TV.render_rows_clustered(scene, cfg.replace(wavefront=False), tri_ids, 0, 32)
+    )
+    np.testing.assert_allclose(img_w, img_m, atol=1e-6)
+
+
+def test_kernel_records_match_oracle_records():
+    """Record-level parity: the traversal kernel's (ids, occ) equal
+    records_oracle lane by lane, including -1/0 on dead paths."""
+    from tpurt.core import geom
+    from tpurt.kernels.packc import pack_clusters
+    from tpurt.shading.deferred import records_oracle
+
+    scene, cfg = configs.config3_spheres(32, 32)
+    tri_ids = _plan_for(scene)
+    packed = pack_clusters(scene, tri_ids)
+    ids_w, occ_w = TV._wavefront_records(scene, cfg, packed, 0, 32)
+
+    o, d = geom.generate_rays(scene.camera, 32, 32)
+    recs = records_oracle(
+        scene, o.reshape(-1, 3), d.reshape(-1, 3), cfg.max_depth, cfg.shadows
+    )
+    T = scene.n_tris
+    miss = ids_w < 0
+    is_tri = (~miss) & (ids_w < T)
+    prim = jnp.where(miss, -1, jnp.where(is_tri, ids_w, ids_w - T))
+    np.testing.assert_array_equal(np.asarray(prim), np.asarray(recs.prim))
+    np.testing.assert_array_equal(np.asarray(occ_w), np.asarray(recs.occ))

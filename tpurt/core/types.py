@@ -54,9 +54,8 @@ class RenderConfig:
     max_depth: int = 2        # Whitted bounces: 0 = primary rays only
     shadows: bool = True
     accel: str = "auto"       # "none" | "bvh" | "grid" | "auto"
-    tile_h: int = 64          # pallas pixel-tile height
-    tile_w: int = 128         # pallas pixel-tile width (lane-aligned)
-    wavefront: bool = False   # active-ray compaction between bounces
+    wavefront: bool = True    # re-bin live rays between bounces (clustered
+    #                           path; False = trace all bounces in one kernel)
     backend: str = "auto"     # "oracle" | "pallas" | "auto"
 
     def replace(self, **kw) -> "RenderConfig":

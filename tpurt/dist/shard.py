@@ -55,6 +55,18 @@ def render_rows(scene, config: RenderConfig, row0, nrows: int, plan=None):
         from tpurt.kernels import megakernel
 
         return megakernel.render_rows_pallas(scene, config, row0, nrows)
+    if config.backend != "oracle":
+        from tpurt.kernels import megakernel
+
+        if not megakernel.supports(scene, config):
+            # a big/textured scene without a prepared plan would silently
+            # brute-force O(pixels × primitives); that is never intended
+            raise ValueError(
+                f"scene with {scene.n_tris} tris (textured={scene.textured}) "
+                "needs a prepared acceleration plan for sharded rendering: "
+                "call tpurt.render.prepare(scene, config) outside jit and "
+                "pass plan=, or set config.backend='oracle' explicitly."
+            )
     o, d = geom.generate_rays(scene.camera, config.height, config.width, row0, nrows)
     colors = oracle.trace_rays(
         scene,
@@ -67,12 +79,11 @@ def render_rows(scene, config: RenderConfig, row0, nrows: int, plan=None):
 
 
 def _rows_per_device(height: int, n: int) -> int:
-    if height % n != 0:
-        raise ValueError(
-            f"image height {height} must be divisible by mesh size {n} "
-            f"(pad the image or choose a different tile split)"
-        )
-    return height // n
+    """Rows per device, rounding up: heights that do not divide the mesh
+    (1080p on 16 devices) render ceil(H/n) rows per device and the sharded
+    image is cropped back to H — out-of-image rows are masked/ignored by
+    every backend (BASELINE.json:2 targets arbitrary N-host scaling)."""
+    return -(-height // n)
 
 
 @partial(jax.jit, static_argnames=("config", "mesh", "axis"))
@@ -92,7 +103,7 @@ def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXI
         row0 = lax.axis_index(axis) * nrows
         return render_rows(s, config, row0, nrows, plan=p)
 
-    return jax.shard_map(
+    full = jax.shard_map(
         tile_fn,
         mesh=mesh,
         in_specs=(P(), P()),
@@ -102,3 +113,5 @@ def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXI
         # single-device parity tests)
         check_vma=False,
     )(scene, plan)
+    # crop padding rows when height does not divide the mesh size
+    return full[: config.height]

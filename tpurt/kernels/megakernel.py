@@ -104,9 +104,9 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
     attrs (T_pad + S_pad, ACOLS).  Returns colors (3, R).
     statics: (H, W, max_depth, shadows, nb_t, nb_s, n_lights, R).
     """
-    H, W, max_depth, shadows, nb_t, nb_s, n_lights, R = statics
+    H, W, max_depth, shadows, nb_t, nb_s, n_lights, R, TLB, SLB = statics
     f32 = jnp.float32
-    t_pad = nb_t * LANES
+    t_pad = nb_t * TLB
 
     # global scalars are extracted by masked lane-reduction, not by lane
     # slicing: a (1,1) slice at lane offset k produces an offset vector
@@ -136,7 +136,8 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
     d = _normalize3(_add3(fwd, _add3(_scale3(right_h, sx), _scale3(up_h, sy))))
     o = tuple(jnp.broadcast_to(e, (1, R)) for e in eye)
 
-    iota_sub = lax.broadcasted_iota(jnp.int32, (LANES, R), 0)
+    iota_t = lax.broadcasted_iota(jnp.int32, (TLB, R), 0)
+    iota_s = lax.broadcasted_iota(jnp.int32, (SLB, R), 0)
     rows8 = lax.broadcasted_iota(jnp.int32, (8, R), 0)
 
     def build_X(o3, d3):
@@ -150,12 +151,12 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
 
     def tri_block(X, b, t_lo, t_hi):
         """(t (128,R), u, v) for triangle block b against rays X."""
-        wb = wtri[:, b * 6 * LANES : (b + 1) * 6 * LANES]
+        wb = wtri[:, b * 6 * TLB : (b + 1) * 6 * TLB]
         out = lax.dot_general(
             wb, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
             precision=lax.Precision.HIGHEST,
-        ).reshape(6, LANES, R)
+        ).reshape(6, TLB, R)
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
         safe_nd = jnp.where(good, ndd, 1.0)
@@ -167,12 +168,12 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
 
     def sph_block(X, b, oo, od, t_lo, t_hi):
         """(t (128,R)) for sphere block b (nearest root in range)."""
-        wb = wsph[:, b * 2 * LANES : (b + 1) * 2 * LANES]
+        wb = wsph[:, b * 2 * SLB : (b + 1) * 2 * SLB]
         out = lax.dot_general(
             wb, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
             precision=lax.Precision.HIGHEST,
-        ).reshape(2, LANES, R)
+        ).reshape(2, SLB, R)
         ct, cd = out[0], out[1]
         b_half = od - cd                       # o·d - c·d
         cterm = oo + ct                        # |o-c|² - r²
@@ -185,14 +186,14 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
         t1_ok = has & (t1 > t_lo) & (t1 < t_hi)
         return jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, C.T_NONE))
 
-    def fold_best(best, tm, u, v, attr_block):
-        """Fold one block's (128,R) candidates into the running per-ray best."""
+    def fold_best(best, tm, u, v, attr_block, iota, blk):
+        """Fold one block's (blk,R) candidates into the running per-ray best."""
         t_best, a_best, u_best, v_best = best
         bt = jnp.min(tm, axis=0, keepdims=True)                      # (1,R)
         bidx = jnp.min(
-            jnp.where(tm == bt, iota_sub, LANES), axis=0, keepdims=True
+            jnp.where(tm == bt, iota, blk), axis=0, keepdims=True
         )
-        onehot = (iota_sub == bidx).astype(f32)                      # (128,R)
+        onehot = (iota == bidx).astype(f32)                          # (blk,R)
         cand_a = lax.dot_general(
             attr_block, onehot, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
@@ -220,13 +221,15 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
         )
         for b in range(nb_t):
             tm, u, v = tri_block(X, b, C.T_MIN, C.T_MAX)
-            best = fold_best(best, tm, u, v, attrs[b * LANES : (b + 1) * LANES])
+            best = fold_best(
+                best, tm, u, v, attrs[b * TLB : (b + 1) * TLB], iota_t, TLB
+            )
         for b in range(nb_s):
             tm = sph_block(X, b, oo, od, C.T_MIN, C.T_MAX)
             zero = jnp.zeros_like(tm)
             best = fold_best(
                 best, tm, zero, zero,
-                attrs[t_pad + b * LANES : t_pad + (b + 1) * LANES],
+                attrs[t_pad + b * SLB : t_pad + (b + 1) * SLB], iota_s, SLB,
             )
         return best
 
@@ -319,7 +322,7 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
 # pallas kernels
 # ---------------------------------------------------------------------------
 def _fwd_kernel(off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, out_ref, *, statics):
-    R = statics[-1]
+    R = statics[7]  # rays per tile (statics ends with tlb, slb)
     pix0 = off_ref[0, 0] + pl.program_id(0) * R
     c0, c1, c2 = _tile_color(
         glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...], pix0, statics
@@ -333,7 +336,7 @@ def _bwd_kernel(
     off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, g_ref,
     dglob_ref, dwtri_ref, dwsph_ref, dattrs_ref, *, statics,
 ):
-    R = statics[-1]
+    R = statics[7]  # rays per tile (statics ends with tlb, slb)
     pix0 = off_ref[0, 0] + pl.program_id(0) * R
 
     def f(gl, wt, ws, at):
@@ -365,6 +368,8 @@ def _statics_for(packed: PackedScene, config, rays: int):
         packed.n_sph_blocks,
         packed.n_lights,
         rays,
+        packed.tlb,
+        packed.slb,
     )
 
 
@@ -374,16 +379,19 @@ def _glob_padded(packed):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(0,))
-def _render_core(statics, packed: PackedScene, off_f):
-    return _render_core_fwd(statics, packed, off_f)[0]
+def _render_core(statics, packed: PackedScene, off_i):
+    return _render_core_fwd(statics, packed, off_i)[0]
 
 
-def _render_core_fwd(statics, packed, off_f):
-    (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix) = statics
+def _render_core_fwd(statics, packed, off_i):
+    (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix, tlb, slb) = statics
     ntiles = -(-n_pix // RAYS)
-    tile_statics = (H, W, max_depth, shadows, nb_t, nb_s, n_lights, RAYS)
+    tile_statics = (H, W, max_depth, shadows, nb_t, nb_s, n_lights, RAYS, tlb, slb)
     glob = _glob_padded(packed)
-    off = jnp.asarray(off_f, jnp.float32).astype(jnp.int32).reshape(1, 1)
+    # pixel offset stays int32 end to end: a float32 carry loses odd offsets
+    # above 2^24 pixels (4096² images); int custom_vjp args take a float0
+    # cotangent in bwd
+    off = jnp.asarray(off_i, jnp.int32).reshape(1, 1)
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, statics=tile_statics),
         grid=(ntiles,),
@@ -398,18 +406,23 @@ def _render_core_fwd(statics, packed, off_f):
         out_shape=jax.ShapeDtypeStruct((3, ntiles * RAYS), jnp.float32),
         interpret=_interpret(),
     )(off, glob, packed.wtri, packed.wsph, packed.attrs)
-    return out, (packed, off_f)
+    return out, (packed, off_i)
 
 
 def _render_core_bwd(statics, res, g):
-    packed, off_f = res
-    (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix) = statics
+    packed, off_i = res
+    (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix, tlb, slb) = statics
+    # backward tile width scales inversely with resident primitive sublanes:
+    # the vjp replay live set is O(total_sublanes x rays), so small scenes
+    # afford full-width tiles (fewer grid steps, less fixed overhead)
+    sublanes = nb_t * tlb + nb_s * slb
+    rays_bwd = max(RAYS_BWD, min(RAYS, 2 ** (15 - max(sublanes, 1).bit_length())))
     # cotangent arrives in the fwd tiling (a multiple of RAYS, which is a
-    # multiple of RAYS_BWD); out-of-image lanes carry zero cotangent
-    ntiles = g.shape[1] // RAYS_BWD
-    tile_statics = (H, W, max_depth, shadows, nb_t, nb_s, n_lights, RAYS_BWD)
+    # multiple of rays_bwd); out-of-image lanes carry zero cotangent
+    ntiles = g.shape[1] // rays_bwd
+    tile_statics = (H, W, max_depth, shadows, nb_t, nb_s, n_lights, rays_bwd, tlb, slb)
     glob = _glob_padded(packed)
-    off = jnp.asarray(off_f, jnp.float32).astype(jnp.int32).reshape(1, 1)
+    off = jnp.asarray(off_i, jnp.int32).reshape(1, 1)
     dglob, dwtri, dwsph, dattrs = pl.pallas_call(
         functools.partial(_bwd_kernel, statics=tile_statics),
         grid=(ntiles,),
@@ -420,7 +433,7 @@ def _render_core_bwd(statics, res, g):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (3, RAYS_BWD), lambda t: (0, t), memory_space=pltpu.VMEM
+                (3, rays_bwd), lambda t: (0, t), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=[
@@ -452,8 +465,12 @@ def _render_core_bwd(statics, res, g):
         n_sph_blocks=packed.n_sph_blocks,
         n_lights=packed.n_lights,
         smooth=packed.smooth,
+        tlb=packed.tlb,
+        slb=packed.slb,
     )
-    return d_packed, jnp.zeros_like(off_f)
+    import numpy as np
+
+    return d_packed, np.zeros(jnp.shape(off_i), jax.dtypes.float0)
 
 
 _render_core.defvjp(_render_core_fwd, _render_core_bwd)
@@ -478,8 +495,8 @@ def render_rows_pallas(scene, config, row0, nrows: int):
     packed = pack_scene(scene)
     n_pix = nrows * config.width
     statics = _statics_for(packed, config, n_pix)
-    off_f = jnp.asarray(row0, jnp.float32) * config.width
-    flat = _render_core(statics, packed, off_f)
+    off_i = jnp.asarray(row0, jnp.int32) * config.width
+    flat = _render_core(statics, packed, off_i)
     img = flat[:, :n_pix].reshape(3, nrows, config.width)
     return jnp.transpose(img, (1, 2, 0))
 

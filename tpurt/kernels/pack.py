@@ -62,16 +62,29 @@ NGLOB_BASE = 15  # eye(3) fwd(3) right_s(3) up_s(3) ambient(3)
 LANES = 128     # primitive block width
 
 
-@pytree_dataclass(meta_fields=("n_tri_blocks", "n_sph_blocks", "n_lights", "smooth"))
+@pytree_dataclass(
+    meta_fields=(
+        "n_tri_blocks", "n_sph_blocks", "n_lights", "smooth", "tlb", "slb"
+    )
+)
 class PackedScene:
-    wtri: Any       # (8, 6 * T_pad) f32, block-major [6, 128] per block
-    wsph: Any       # (8, 2 * S_pad) f32, block-major [2, 128] per block
+    """tlb/slb: primitive-block sublane width (multiple of 8, ≤ LANES).
+
+    Small scenes use sub-128 blocks: the MXU matmul cost is unchanged (one
+    pass either way) but the VPU epilogue — the (block, R) t/u/v/hit math
+    that dominates small-scene kernels — shrinks proportionally (a 6-prim
+    scene does (8, R) elementwise work instead of (128, R): 16× less)."""
+
+    wtri: Any       # (8, 6 * T_pad) f32, block-major [6, tlb] per block
+    wsph: Any       # (8, 2 * S_pad) f32, block-major [2, slb] per block
     attrs: Any      # (T_pad + S_pad, ACOLS) f32
     globals: Any    # (1, NGLOB) f32
     n_tri_blocks: int
     n_sph_blocks: int
     n_lights: int
     smooth: bool
+    tlb: int = LANES
+    slb: int = LANES
 
 
 def _pad_axis(x, n, axis=0, value=0.0):
@@ -137,14 +150,20 @@ def sphere_form_groups(cen, rad):
     return jnp.stack([s_ct, s_cd], axis=1)  # (8, 2, S)
 
 
-def block_major(groups, pad_to):
-    """(8, G, P) column groups → (8, G*pad_to) block-major [G, 128] layout."""
+def block_major(groups, pad_to, lanes: int = LANES):
+    """(8, G, P) column groups → (8, G*pad_to) block-major [G, lanes] layout."""
     G = groups.shape[1]
     groups = _pad_axis(groups, pad_to, axis=2)
-    nb = pad_to // LANES
+    nb = pad_to // lanes
     return (
-        groups.reshape(8, G, nb, LANES).transpose(0, 2, 1, 3).reshape(8, G * pad_to)
+        groups.reshape(8, G, nb, lanes).transpose(0, 2, 1, 3).reshape(8, G * pad_to)
     )
+
+
+def block_width(n: int) -> int:
+    """Primitive-block sublane width for n primitives: the smallest multiple
+    of 8 covering n, capped at LANES (multi-block scenes use full blocks)."""
+    return min(LANES, max(8, -(-n // 8) * 8))
 
 
 def globals_vec(scene):
@@ -168,20 +187,22 @@ def pack_scene(scene) -> PackedScene:
     """Pure-jnp, differentiable Scene → PackedScene."""
     T = scene.n_tris
     S = scene.n_spheres
-    T_pad = max(LANES, -(-T // LANES) * LANES)
-    S_pad = max(LANES, -(-S // LANES) * LANES)
+    tlb = block_width(T)
+    slb = block_width(S)
+    T_pad = max(tlb, -(-T // tlb) * tlb)
+    S_pad = max(slb, -(-S // slb) * slb)
 
     tri = scene.triangles
     v0 = scene.vertices[tri[:, 0]]
     e1 = scene.vertices[tri[:, 1]] - v0
     e2 = scene.vertices[tri[:, 2]] - v0
-    wtri = block_major(tri_form_groups(v0, e1, e2), T_pad)
-    nb_t = T_pad // LANES
+    wtri = block_major(tri_form_groups(v0, e1, e2), T_pad, tlb)
+    nb_t = T_pad // tlb
 
     cen = scene.sph_center
     rad = scene.sph_radius
-    wsph = block_major(sphere_form_groups(cen, rad), S_pad)
-    nb_s = S_pad // LANES
+    wsph = block_major(sphere_form_groups(cen, rad), S_pad, slb)
+    nb_s = S_pad // slb
     N = vec.cross(e1, e2)
 
     # ---- attribute table ---------------------------------------------------
@@ -245,4 +266,6 @@ def pack_scene(scene) -> PackedScene:
         n_sph_blocks=nb_s,
         n_lights=scene.n_lights,
         smooth=scene.smooth,
+        tlb=tlb,
+        slb=slb,
     )

@@ -36,6 +36,7 @@ R_N2 = 6
 R_GID = 9       # global primitive id as f32 (tris: tri id; spheres: T + s)
 R_CENTER = 10   # sphere center (3) — zero for triangles
 R_RADIUS = 13
+R_REFL = 14     # material reflectivity (kernel kills dead reflection paths)
 TROWS = 16
 
 LANES = PK.LANES
@@ -84,6 +85,12 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
         n0 = n1 = n2 = vec.normalize(jnp.cross(e1, e2))
     gid = flat.astype(C.DTYPE)
     zeros = jnp.zeros_like(gid)
+    # reflectivity rides along (stop-gradient: the kernel only uses it to
+    # decide path liveness, a visibility-like discrete effect; the shading
+    # gradient to reflectivity flows through the deferred pass)
+    refl_t = jax.lax.stop_gradient(
+        scene.materials.reflectivity[scene.tri_mat[flat]]
+    )
     attr_rows = jnp.stack(
         [
             n0[:, 0], n0[:, 1], n0[:, 2],
@@ -91,7 +98,7 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
             n2[:, 0], n2[:, 1], n2[:, 2],
             gid,
             zeros, zeros, zeros, zeros,           # center / radius unused
-            zeros, zeros,
+            refl_t, zeros,
         ],
         axis=0,
     )                                             # (TROWS, C*128)
@@ -138,13 +145,16 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
     T_total = scene.n_tris
     sgid = (jnp.arange(S) + T_total).astype(C.DTYPE)
     zs = jnp.zeros_like(sgid)
+    refl_s = jax.lax.stop_gradient(
+        scene.materials.reflectivity[scene.sph_mat]
+    )
     sattr = jnp.stack(
         [
             zs, zs, zs, zs, zs, zs, zs, zs, zs,
             sgid,
             scene.sph_center[:, 0], scene.sph_center[:, 1], scene.sph_center[:, 2],
             scene.sph_radius,
-            zs, zs,
+            refl_s, zs,
         ],
         axis=0,
     )                                             # (TROWS, S)

@@ -72,23 +72,33 @@ def _interpret() -> bool:
 
 
 def _trav_kernel(
-    # inputs
-    off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref, wtri_hbm, attr_hbm,
-    # outputs
-    id_ref, occ_ref, s_surv, s_pass, s_ovf,
-    # scratch
-    maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb, sems,
-    ssem,
-    *, statics,
+    # inputs, outputs, scratch — layout depends on statics[-1] (rays_in):
+    #   gen mode:  off, glob, wsph, sattr, aabb, wtri, attr | outs | scratch
+    #   rays mode: nlive, glob, wsph, sattr, aabb, ox..dz, alive, wtri, attr
+    # (see trace_records / trace_bounce wrappers)
+    *refs, statics,
 ):
     # per-tile stats (SMEM rows, one lane per tile): survivors summed over
     # passes / number of passes / overflow events — traversal observability
     # (SURVEY.md §5 metrics), surfaced by traversal_stats()
+    (H, W, max_depth, shadows, Ccount, nb_s, n_lights, T_total, R, ntx,
+     rays_in) = statics
+    if rays_in:
+        (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref,
+         ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, al_ref,
+         wtri_hbm, attr_hbm,
+         id_ref, occ_ref, s_surv, s_pass, s_ovf,
+         maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
+         sems, ssem) = refs
+    else:
+        (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref, wtri_hbm, attr_hbm,
+         id_ref, occ_ref, s_surv, s_pass, s_ovf,
+         maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
+         sems, ssem) = refs
     tile_id = pl.program_id(0)
     s_surv[0, tile_id] = 0
     s_pass[0, tile_id] = 0
     s_ovf[0, tile_id] = 0
-    (H, W, max_depth, shadows, Ccount, nb_s, n_lights, T_total, R, ntx) = statics
     f32 = jnp.float32
     C_pad = aabb_ref.shape[1]
     RCH = R // NCH
@@ -103,21 +113,32 @@ def _trav_kernel(
     def g3(k):
         return (g(k), g(k + 1), g(k + 2))
 
-    # ---- ray-gen over a TILE_H × TILE_W pixel block -----------------------
-    t = pl.program_id(0)
-    bi = t // ntx
-    bj = t % ntx
-    k = lax.broadcasted_iota(jnp.int32, (1, R), 1)
-    row0 = off_ref[0, 0]
-    row = (row0 + bi * TILE_H + k // TILE_W).astype(f32)
-    colm = (bj * TILE_W + k % TILE_W).astype(f32)
-    aspect = W / H
-    sx = (2.0 * (colm + 0.5) / W - 1.0) * aspect
-    sy = 1.0 - 2.0 * (row + 0.5) / H
-    eye, fwd = g3(0), g3(3)
-    right_h, up_h = g3(6), g3(9)
-    d = _normalize3(_add3(fwd, _add3(_scale3(right_h, sx), _scale3(up_h, sy))))
-    o = tuple(jnp.broadcast_to(e, (1, R)) for e in eye)
+    if rays_in:
+        # wavefront bounce: rays arrive binned (Morton-of-hit-point order,
+        # see render_rows_clustered) — each tile is a coherent bundle, which
+        # is what keeps the interval cull selective for secondary rays
+        o = (ox_ref[...], oy_ref[...], oz_ref[...])
+        d = (dx_ref[...], dy_ref[...], dz_ref[...])
+        alive0 = al_ref[...] != 0
+    else:
+        # ---- ray-gen over a TILE_H × TILE_W pixel block -------------------
+        t = pl.program_id(0)
+        bi = t // ntx
+        bj = t % ntx
+        k = lax.broadcasted_iota(jnp.int32, (1, R), 1)
+        row0 = off_ref[0, 0]
+        row = (row0 + bi * TILE_H + k // TILE_W).astype(f32)
+        colm = (bj * TILE_W + k % TILE_W).astype(f32)
+        aspect = W / H
+        sx = (2.0 * (colm + 0.5) / W - 1.0) * aspect
+        sy = 1.0 - 2.0 * (row + 0.5) / H
+        eye, fwd = g3(0), g3(3)
+        right_h, up_h = g3(6), g3(9)
+        d = _normalize3(
+            _add3(fwd, _add3(_scale3(right_h, sx), _scale3(up_h, sy)))
+        )
+        o = tuple(jnp.broadcast_to(e, (1, R)) for e in eye)
+        alive0 = (row < float(H)) & (colm < float(W))
 
     iota_sub = lax.broadcasted_iota(jnp.int32, (LANES, R), 0)
     rows8 = lax.broadcasted_iota(jnp.int32, (8, R), 0)
@@ -315,7 +336,14 @@ def _trav_kernel(
     iota_ch = lax.broadcasted_iota(jnp.int32, (LANES, RAYS // NCH), 0)
 
     def fold(tm, u, v, attr_blk, sl=slice(None), iota=None):
-        """Fold (128, chunk) candidates into the chunk slice of the bests."""
+        """Fold (128, chunk) candidates into the chunk slice of the bests.
+
+        Tie-breaking on exact-equal t: across blocks/clusters the candidate
+        with the SMALLER global primitive id wins (oracle argmin-first
+        convention; spheres carry gid >= n_tris so triangles beat spheres).
+        Within one 128-lane block, ties resolve by lane position — only
+        exactly-coincident triangles in the same cluster can differ, and
+        those shade identically unless their materials differ."""
         iota = iota_sub if iota is None else iota
         bt = jnp.min(tm, axis=0, keepdims=True)
         bidx = jnp.min(jnp.where(tm == bt, iota, LANES), axis=0, keepdims=True)
@@ -327,7 +355,10 @@ def _trav_kernel(
         )  # (TROWS, chunk)
         cu = jnp.sum(onehot * u, axis=0, keepdims=True)
         cv = jnp.sum(onehot * v, axis=0, keepdims=True)
-        imp = bt < tb[:, sl]
+        cand_gid = cand[PC.R_GID : PC.R_GID + 1]
+        cur_gid = ab[PC.R_GID : PC.R_GID + 1, sl]
+        tie = (bt == tb[:, sl]) & (bt < C.T_NONE) & (cand_gid < cur_gid)
+        imp = (bt < tb[:, sl]) | tie
         tb[:, sl] = jnp.where(imp, bt, tb[:, sl])
         ab[:, sl] = jnp.where(imp, cand, ab[:, sl])
         ub[:, sl] = jnp.where(imp, cu, ub[:, sl])
@@ -486,8 +517,8 @@ def _trav_kernel(
     # ---- Whitted record loop ---------------------------------------------
     # alive: in-image lanes that are still on a live reflection path; dead
     # lanes keep computing (SIMD) but never influence the cull
-    alive = (row < float(H)) & (colm < float(W))
-    for depth in range(max_depth + 1):
+    def whitted_loop(alive, o, d):
+      for depth in range(max_depth + 1):
         t, a, u, v = closest(o, d, alive)
         hit = (t < C.T_MAX) & alive
 
@@ -512,8 +543,12 @@ def _trav_kernel(
         n = _where3(is_sph, n_sph, n_tri)
         p_off = _add3(p, _scale3(n, C.RAY_OFFSET_EPS))
 
+        # round before the int cast: gid arrives through a HIGHEST-precision
+        # one-hot matmul (exact in principle), but any sub-ulp error would
+        # truncate to the wrong id — same bug class as the exp2 word-pack
+        # truncation above
         id_ref[depth : depth + 1, :] = jnp.where(
-            hit, gid, -1.0
+            hit, jnp.round(gid), -1.0
         ).astype(jnp.int32)
 
         occ_bits = jnp.zeros((1, R), jnp.int32)
@@ -524,38 +559,86 @@ def _trav_kernel(
                 dist = jnp.sqrt(_dot3(to_l, to_l))
                 ldir = _scale3(to_l, 1.0 / jnp.maximum(dist, 1e-20))
                 occ = occluded(p_off, ldir, dist - C.RAY_OFFSET_EPS, hit)
-                occ_bits = occ_bits | jnp.where(occ, 1 << li, 0)
+                # mask by hit: dead lanes compute garbage rays (SIMD) and
+                # may report occlusion; records keep them at exactly 0
+                occ_bits = occ_bits | jnp.where(occ & hit, 1 << li, 0)
         occ_ref[depth : depth + 1, :] = occ_bits
 
         o = p_off
         d = _reflect3(d, n)
-        alive = hit
+        # a path survives only while its throughput is nonzero: hits on
+        # non-reflective material (reflectivity == 0) terminate the path.
+        # Record convention: dead lanes get id -1 / occ 0 from the next
+        # depth on (records_oracle matches); deferred shading ignores them
+        # (throughput is already zero).  For scenes with no reflective
+        # materials this makes every bounce > 0 near-free.
+        alive = hit & (a1(PC.R_REFL) > 0.0)
+
+    if rays_in:
+        # wavefront mode: tiles past the live-ray count are skipped whole —
+        # off_ref carries n_live_tiles; their outputs stay at the defaults
+        D = max_depth + 1
+        id_ref[...] = jnp.full((D, R), -1, jnp.int32)
+        occ_ref[...] = jnp.zeros((D, R), jnp.int32)
+
+        @pl.when(tile_id < off_ref[0, 0])
+        def _():
+            whitted_loop(alive0, o, d)
+    else:
+        whitted_loop(alive0, o, d)
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrapper + public clustered render path
 # ---------------------------------------------------------------------------
-def trace_records(packed: PackedClusters, config, row0, nrows: int):
+def _scratch_shapes(C_pad):
+    return [
+        pltpu.VMEM((1 + NCH, C_pad // 16), jnp.int32),  # maskv (packed)
+        pltpu.SMEM((1 + NCH, C_pad // 16), jnp.int32),  # masks (packed)
+        pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
+        pltpu.SMEM((1,), jnp.int32),              # scnt
+        pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
+        pltpu.VMEM((4, 8, 6 * LANES), jnp.float32),   # wscr
+        pltpu.VMEM((4, TROWS, LANES), jnp.float32),   # ascr
+        pltpu.VMEM((1, RAYS), jnp.float32),       # tb
+        pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
+        pltpu.VMEM((1, RAYS), jnp.float32),       # ub
+        pltpu.VMEM((1, RAYS), jnp.float32),       # vb
+        pltpu.VMEM((1, RAYS), jnp.int32),         # occb
+        pltpu.SemaphoreType.DMA((4, 2)),          # sems[slot, stream]
+        pltpu.SemaphoreType.DMA(()),              # ssem (mask copy)
+    ]
+
+
+def _glob_pad(packed):
+    glob = packed.globals
+    gpad = -(-glob.shape[1] // LANES) * LANES
+    return jnp.pad(glob, ((0, 0), (0, gpad - glob.shape[1])))
+
+
+def trace_records(packed: PackedClusters, config, row0, nrows: int,
+                  max_depth: int | None = None):
     """Run the traversal kernel → (ids, occ) each (D, ntiles·RAYS) int32,
     tile-major (reassembled into image order by render_rows_clustered).
 
     ids: global primitive id per bounce (-1 miss; >= n_tris ⇒ sphere).
     Inputs are stop_gradient'ed: topology is non-differentiable by design
-    (gradients flow through deferred shading instead)."""
+    (gradients flow through deferred shading instead).  `max_depth`
+    overrides config.max_depth (the wavefront driver traces depth 0 here
+    and later bounces via trace_bounce)."""
     packed = jax.lax.stop_gradient(packed)
-    D = config.max_depth + 1
+    md = config.max_depth if max_depth is None else max_depth
+    D = md + 1
     W = config.width
     nty = -(-nrows // TILE_H)
     ntx = -(-W // TILE_W)
     ntiles = nty * ntx
     C_pad = packed.aabb.shape[1]
-    glob = packed.globals
-    gpad = -(-glob.shape[1] // LANES) * LANES
-    glob = jnp.pad(glob, ((0, 0), (0, gpad - glob.shape[1])))
+    glob = _glob_pad(packed)
     statics = (
-        config.height, config.width, config.max_depth, config.shadows,
+        config.height, config.width, md, config.shadows,
         packed.n_clusters, packed.n_sph_blocks, packed.n_lights,
-        packed.n_tris, RAYS, ntx,
+        packed.n_tris, RAYS, ntx, False,
     )
     off = jnp.asarray(row0, jnp.int32).reshape(1, 1)
     ids, occ, s_surv, s_pass, s_ovf = pl.pallas_call(
@@ -584,26 +667,73 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int):
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((1 + NCH, C_pad // 16), jnp.int32),  # maskv (packed)
-            pltpu.SMEM((1 + NCH, C_pad // 16), jnp.int32),  # masks (packed)
-            pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
-            pltpu.SMEM((1,), jnp.int32),              # scnt
-            pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
-            pltpu.VMEM((4, 8, 6 * LANES), jnp.float32),   # wscr
-            pltpu.VMEM((4, TROWS, LANES), jnp.float32),   # ascr
-            pltpu.VMEM((1, RAYS), jnp.float32),       # tb
-            pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
-            pltpu.VMEM((1, RAYS), jnp.float32),       # ub
-            pltpu.VMEM((1, RAYS), jnp.float32),       # vb
-            pltpu.VMEM((1, RAYS), jnp.int32),         # occb
-            pltpu.SemaphoreType.DMA((4, 2)),          # sems[slot, stream]
-            pltpu.SemaphoreType.DMA(()),              # ssem (mask copy)
-        ],
+        scratch_shapes=_scratch_shapes(C_pad),
         interpret=_interpret(),
     )(off, glob, packed.wsph, packed.sattr, packed.aabb,
       packed.wtri_c, packed.attr_c)
     return ids, occ, jnp.concatenate([s_surv, s_pass, s_ovf], axis=0)
+
+
+def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
+    """One wavefront bounce over an explicit (binned) ray set.
+
+    o, d: (N, 3) f32 unit rays, N a multiple of RAYS; alive (N,) bool;
+    n_live: traced int32 count of live rays (live rays must be sorted to the
+    front — tiles past ceil(n_live/RAYS) are skipped inside the kernel).
+    Returns (ids (N,), occ (N,), stats (3, ntiles)) in the SAME ray order.
+    """
+    packed = jax.lax.stop_gradient(packed)
+    sg = jax.lax.stop_gradient
+    o, d = sg(o), sg(d)
+    N = o.shape[0]
+    assert N % RAYS == 0, N
+    ntiles = N // RAYS
+    C_pad = packed.aabb.shape[1]
+    glob = _glob_pad(packed)
+    statics = (
+        config.height, config.width, 0, config.shadows,
+        packed.n_clusters, packed.n_sph_blocks, packed.n_lights,
+        packed.n_tris, RAYS, 1, True,
+    )
+    nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
+    row = lambda x: x.reshape(1, N)                          # noqa: E731
+    ray_spec = pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM)
+    ids, occ, s_surv, s_pass, s_ovf = pl.pallas_call(
+        functools.partial(_trav_kernel, statics=statics),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+            ray_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+        ],
+        scratch_shapes=_scratch_shapes(C_pad),
+        interpret=_interpret(),
+    )(nlive_tiles, glob, packed.wsph, packed.sattr, packed.aabb,
+      row(o[:, 0]), row(o[:, 1]), row(o[:, 2]),
+      row(d[:, 0]), row(d[:, 1]), row(d[:, 2]),
+      row(alive.astype(jnp.int32)),
+      packed.wtri_c, packed.attr_c)
+    return ids[0], occ[0], jnp.concatenate([s_surv, s_pass, s_ovf], axis=0)
 
 
 def _untile(x, nrows, W):
@@ -616,9 +746,113 @@ def _untile(x, nrows, W):
     return x[:, :nrows, :W].reshape(D, nrows * W)
 
 
+def _part1by2(x):
+    """Spread the low 10 bits of x so consecutive bits land 3 apart."""
+    x = x & 0x3FF
+    x = (x | (x << 16)) & 0x030000FF
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _bin_key(p, d, lo, hi, alive):
+    """Wavefront binning key: direction octant (high bits) then 9-bit-per-
+    axis Morton code of the ray origin — groups secondary rays into tiles
+    whose origin box AND direction cone are both tight, which is what the
+    per-tile interval cull needs to stay selective (BASELINE "wavefront-
+    style ray compaction").  Dead rays sort to the end."""
+    ext = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((p - lo) / ext, 0.0, 1.0)
+    cell = (q * 511.0).astype(jnp.int32)
+    m = (
+        _part1by2(cell[:, 0])
+        | (_part1by2(cell[:, 1]) << 1)
+        | (_part1by2(cell[:, 2]) << 2)
+    )
+    octant = (
+        ((d[:, 0] < 0).astype(jnp.int32) << 2)
+        | ((d[:, 1] < 0).astype(jnp.int32) << 1)
+        | (d[:, 2] < 0).astype(jnp.int32)
+    )
+    key = (octant << 27) | m
+    return jnp.where(alive, key, jnp.int32(2**30))
+
+
+def _continue_rays(scene_sg, o, d, ids, T):
+    """Reflection continuation at XLA level from a bounce's records (all on
+    stop_gradient values — ray positions are kernel inputs, never a gradient
+    path; the differentiable replay lives in tpurt/shading/deferred.py)."""
+    from tpurt.shading.deferred import _hit_geometry, _recompute_tuv
+
+    from tpurt.core import vec
+
+    miss = ids < 0
+    is_tri = (~miss) & (ids < T)
+    prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
+    t, u, v = _recompute_tuv(scene_sg, o, d, prim, is_tri)
+    p, n, mat = _hit_geometry(scene_sg, o, d, t, prim, is_tri, u, v)
+    o2 = p + n * C.RAY_OFFSET_EPS
+    d2 = vec.reflect(d, n)
+    refl = scene_sg.materials.reflectivity[mat]
+    alive = (~miss) & (refl > 0.0)
+    return o2, d2, alive
+
+
+def _wavefront_records(scene, config, packed, row0, nrows):
+    """Per-bounce wavefront tracing: bounce 0 uses in-kernel ray-gen over
+    square pixel tiles; each later bounce re-bins its live rays by
+    direction-octant + origin-Morton, traces only ceil(n_live/RAYS) tiles,
+    and scatters records back to pixel order.  SURVEY.md §7 step 5."""
+    from tpurt.core import geom
+
+    sg = jax.lax.stop_gradient
+    W = config.width
+    n_pix = nrows * W
+    T = scene.n_tris
+    scene_sg = sg(scene)
+
+    with jax.named_scope("tpurt.traversal.b0"):
+        ids0, occ0, _ = trace_records(packed, config, row0, nrows, max_depth=0)
+    ids_list = [_untile(ids0, nrows, W)[0]]
+    occ_list = [_untile(occ0, nrows, W)[0]]
+
+    # scene bounds for Morton quantization (cluster AABBs; pads are empty
+    # boxes at ±BIG and must be excluded)
+    Ccount = packed.n_clusters
+    lo = jnp.min(packed.aabb[0:3, :Ccount], axis=1)
+    hi = jnp.max(packed.aabb[3:6, :Ccount], axis=1)
+
+    o, d = geom.generate_rays(scene.camera, config.height, W, row0, nrows)
+    o = sg(o.reshape(-1, 3))
+    d = sg(d.reshape(-1, 3))
+
+    N_pad = -(-n_pix // RAYS) * RAYS
+    for _depth in range(1, config.max_depth + 1):
+        o, d, alive = _continue_rays(scene_sg, o, d, ids_list[-1], T)
+        key = _bin_key(o, d, lo, hi, alive)
+        perm = jnp.argsort(key)
+        inv = jnp.argsort(perm)
+        n_live = jnp.sum(alive.astype(jnp.int32))
+
+        ob = jnp.pad(o[perm], ((0, N_pad - n_pix), (0, 0)))
+        db = jnp.pad(d[perm], ((0, N_pad - n_pix), (0, 0)))
+        ab = jnp.pad(alive[perm], (0, N_pad - n_pix))
+
+        with jax.named_scope(f"tpurt.traversal.b{_depth}"):
+            idsb, occb, _ = trace_bounce(packed, config, ob, db, ab, n_live)
+        ids_list.append(idsb[:n_pix][inv])
+        occ_list.append(occb[:n_pix][inv])
+
+    return jnp.stack(ids_list), jnp.stack(occ_list)
+
+
 def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
     """Cluster-traversal render of rows [row0, row0+nrows): traversal kernel
-    finds topology, deferred shading reconstructs the image differentiably."""
+    finds topology, deferred shading reconstructs the image differentiably.
+
+    config.wavefront selects per-bounce re-binned tracing (default) vs the
+    single multi-bounce kernel (secondary rays keep their pixel tiling)."""
     from tpurt.core import geom
     from tpurt.kernels.packc import pack_clusters
     from tpurt.shading.deferred import HitRecords, shade_from_records
@@ -627,10 +861,13 @@ def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
         packed = pack_clusters(scene, tri_ids)
     W = config.width
     n_pix = nrows * W
-    with jax.named_scope("tpurt.traversal"):
-        ids, occ, _stats = trace_records(packed, config, row0, nrows)
-    ids = _untile(ids, nrows, W)
-    occ = _untile(occ, nrows, W)
+    if config.wavefront and config.max_depth > 0:
+        ids, occ = _wavefront_records(scene, config, packed, row0, nrows)
+    else:
+        with jax.named_scope("tpurt.traversal"):
+            ids, occ, _stats = trace_records(packed, config, row0, nrows)
+        ids = _untile(ids, nrows, W)
+        occ = _untile(occ, nrows, W)
 
     T = scene.n_tris
     miss = ids < 0

@@ -198,11 +198,16 @@ def render_ref(scene, height=None, width=None, config=None, chunk=8192):
     d = d.reshape(-1, 3)
     n = o.shape[0]
     chunk = min(chunk, n)
-    if n % chunk != 0:  # fall back to one chunk if not divisible
-        chunk = n
-    o = o.reshape(n // chunk, chunk, 3)
-    d = d.reshape(n // chunk, chunk, 3)
+    # pad the bundle to a chunk multiple so peak memory stays bounded at
+    # pixels_per_chunk × primitives for ANY resolution (an odd-sized image
+    # must never silently collapse to one giant chunk)
+    n_pad = -(-n // chunk) * chunk
+    if n_pad != n:
+        o = jnp.concatenate([o, jnp.broadcast_to(o[-1:], (n_pad - n, 3))])
+        d = jnp.concatenate([d, jnp.broadcast_to(d[-1:], (n_pad - n, 3))])
+    o = o.reshape(n_pad // chunk, chunk, 3)
+    d = d.reshape(n_pad // chunk, chunk, 3)
     colors = lax.map(
         lambda od: trace_rays(scene, od[0], od[1], max_depth, shadows), (o, d)
     )
-    return colors.reshape(height, width, 3)
+    return colors.reshape(n_pad, 3)[:n].reshape(height, width, 3)

@@ -58,6 +58,9 @@ def prepare(scene, config: RenderConfig | None = None, accel=None) -> RenderPlan
     accel = accel or config.accel
     from tpurt.kernels import megakernel
 
+    if accel == "none":
+        # no acceleration structure: brute-force oracle path
+        return RenderPlan(tri_ids=None, kind="oracle")
     if megakernel.supports(scene, config) and accel == "auto":
         return RenderPlan(tri_ids=None, kind="phase1")
     if isinstance(scene.vertices, jax.core.Tracer) and getattr(
@@ -102,15 +105,12 @@ def _resolve_backend(config: RenderConfig, scene=None) -> str:
 
 @partial(jax.jit, static_argnames=("config",))
 def _render_oracle(scene, config: RenderConfig):
-    o, d = geom.generate_rays(scene.camera, config.height, config.width)
-    colors = oracle.trace_rays(
-        scene,
-        o.reshape(-1, 3),
-        d.reshape(-1, 3),
-        max_depth=config.max_depth,
-        shadows=config.shadows,
-    )
-    return colors.reshape(config.height, config.width, 3)
+    # chunk size scales inversely with primitive count so the brute-force
+    # (pixels × primitives) intermediates stay bounded (~40 MB) at any
+    # scene size — the oracle must remain runnable as the parity tier
+    prims = max(scene.n_tris + scene.n_spheres, 1)
+    chunk = int(max(256, min(8192, (1 << 22) // prims)))
+    return oracle.render_ref(scene, config=config, chunk=chunk)
 
 
 def render(scene, config: RenderConfig | None = None, plan: RenderPlan | None = None,

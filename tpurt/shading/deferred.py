@@ -50,15 +50,19 @@ class HitRecords:
 def records_oracle(scene, o, d, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True):
     """Brute-force record producer (parity reference for traversal kernels).
 
-    Follows the same ray-continuation rule as the shader below: reflection
-    rays continue from every hit regardless of reflectivity (dead paths are
-    killed by throughput in the shader), so records exist for every bounce.
+    Record convention (shared with the traversal kernel): a lane is LIVE at
+    depth d if every prior bounce hit a reflective surface; dead lanes get
+    id -1 and occ 0 — their path throughput is zero, so the shader never
+    reads them.  This makes record comparisons producer-agnostic lane by
+    lane (the kernel emits exactly the same -1/-0 pattern).
     """
     prims, is_tris, occs = [], [], []
+    alive = jnp.ones(o.shape[:-1], bool)
     for _ in range(max_depth + 1):
         rec = geom.closest_hit(scene, o, d)
-        p, n, _ = _hit_geometry(scene, o, d, rec["t"], rec["prim"], rec["is_tri"],
-                                rec["u"], rec["v"])
+        p, n, mat = _hit_geometry(scene, o, d, rec["t"], rec["prim"],
+                                  rec["is_tri"], rec["u"], rec["v"])
+        hit = rec["hit"] & alive
         p_off = p + n * C.RAY_OFFSET_EPS
         occ_bits = jnp.zeros(o.shape[:-1], C.INDEX_DTYPE)
         if shadows:
@@ -67,12 +71,16 @@ def records_oracle(scene, o, d, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True):
                 dist = vec.length(to_l)
                 ldir = to_l / jnp.maximum(dist, 1e-20)[..., None]
                 occluded = geom.any_hit(scene, p_off, ldir, dist - C.RAY_OFFSET_EPS)
-                occ_bits = occ_bits | (occluded.astype(C.INDEX_DTYPE) << li)
-        prims.append(jnp.where(rec["hit"], rec["prim"], -1).astype(C.INDEX_DTYPE))
-        is_tris.append(rec["is_tri"])
+                occ_bits = occ_bits | jnp.where(
+                    hit & occluded, 1 << li, 0
+                ).astype(C.INDEX_DTYPE)
+        prims.append(jnp.where(hit, rec["prim"], -1).astype(C.INDEX_DTYPE))
+        is_tris.append(rec["is_tri"] & hit)
         occs.append(occ_bits)
         o = p_off
         d = vec.reflect(d, n)
+        refl = scene.materials.reflectivity[mat]
+        alive = hit & (refl > 0.0)
     return HitRecords(
         prim=jnp.stack(prims), is_tri=jnp.stack(is_tris), occ=jnp.stack(occs)
     )
