@@ -26,6 +26,13 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 
 def count_rays(cfg, scene) -> int:
+    """Nominal Whitted ray budget: pixels × depths × (1 + shadow rays).
+
+    Fixed convention across rounds so Mrays/s ratios equal frame-time
+    ratios.  Since round 2 the kernels kill dead paths (zero-reflectivity
+    hits) and skip empty wavefront tiles, so ACTUAL traced rays can be
+    fewer; ms/frame (stderr) is the ground-truth cost of a frame.
+    """
     per_bounce = 1 + (scene.n_lights if cfg.shadows else 0)
     return cfg.height * cfg.width * (cfg.max_depth + 1) * per_bounce
 
@@ -148,6 +155,10 @@ def main():
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--verify", action="store_true",
                     help="run the on-hardware oracle-parity tier instead")
+    ap.add_argument("--depth", type=int, default=None,
+                    help="override max_depth (pass-cost breakdown)")
+    ap.add_argument("--no-shadows", action="store_true")
+    ap.add_argument("--no-wavefront", action="store_true")
     args = ap.parse_args()
 
     if args.verify:
@@ -162,6 +173,12 @@ def main():
     h, w = (int(x) for x in args.res.split("x"))
     build = configs.ALL_CONFIGS[args.config]
     scene, cfg = build(h, w)
+    if args.depth is not None:
+        cfg = cfg.replace(max_depth=args.depth)
+    if args.no_shadows:
+        cfg = cfg.replace(shadows=False)
+    if args.no_wavefront:
+        cfg = cfg.replace(wavefront=False)
     print(
         f"[bench] config={args.config} {h}x{w} mode={args.mode} "
         f"tris={scene.n_tris} spheres={scene.n_spheres} "

@@ -80,3 +80,60 @@ def test_graft_entry_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_scene_sharded_ring_matches_replicated():
+    """Scene sharding v1 (SURVEY.md §5 axis b): cluster blocks sharded over
+    the mesh + ring ray exchange must reproduce the replicated render.
+    Interpret-mode pallas inside shard_map is slow, so the case is tiny:
+    mesh 2, one bounce, shadows on (exercises the shadow ring too)."""
+    import numpy as np
+
+    from tpurt.accel import build_clusters
+    from tpurt.dist import make_mesh, render_scene_sharded
+    from tpurt.scene import configs
+
+    scene, cfg = configs.config4_bunny(8, 8, subdiv=2)
+    cfg = cfg.replace(max_depth=0)
+    cs = build_clusters(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    tri_ids = jnp.asarray(cs.tri_ids)
+
+    from tpurt.kernels.traversal import render_rows_clustered
+
+    ref = np.asarray(render_rows_clustered(scene, cfg, tri_ids, 0, 8))
+    mesh = make_mesh(2)
+    img = np.asarray(render_scene_sharded(scene, cfg, tri_ids, mesh))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+
+def test_scene_sharded_reflective_and_grads():
+    """Ring exchange with live secondary rays (reflective spheres, duplicate
+    pad clusters across 4 shards) + grads flow through the deferred pass
+    with psum'd scene cotangents."""
+    import numpy as np
+
+    from tpurt.accel import build_clusters
+    from tpurt.dist import make_mesh, render_scene_sharded
+    from tpurt.scene import configs
+
+    scene, cfg = configs.config3_spheres(8, 8)
+    cfg = cfg.replace(max_depth=1, shadows=False)
+    cs = build_clusters(np.asarray(scene.vertices), np.asarray(scene.triangles))
+    tri_ids = jnp.asarray(cs.tri_ids)
+
+    from tpurt.kernels.traversal import render_rows_clustered
+
+    ref = np.asarray(render_rows_clustered(scene, cfg, tri_ids, 0, 8))
+    mesh = make_mesh(4)
+    # topology is exactly equal (integer records); shading under shard_map
+    # fuses differently -> ulp-level fp differences
+    img = np.asarray(render_scene_sharded(scene, cfg, tri_ids, mesh))
+    np.testing.assert_allclose(img, ref, atol=1e-5)
+
+    def loss(s):
+        return jnp.sum(render_scene_sharded(s, cfg, tri_ids, mesh) ** 2)
+
+    g = jax.grad(loss, allow_int=True)(scene)
+    for f in ("light_color", "sph_center", "vertices"):
+        a = np.asarray(getattr(g, f))
+        assert np.isfinite(a).all() and np.abs(a).sum() > 0, f

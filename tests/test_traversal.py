@@ -104,7 +104,7 @@ def test_wavefront_matches_multibounce_records_and_image():
     tri_ids = _plan_for(scene)
     packed = pack_clusters(scene, tri_ids)
 
-    ids_m, occ_m, _ = TV.trace_records(packed, cfg, 0, 32)
+    ids_m, occ_m, _, _ = TV.trace_records(packed, cfg, 0, 32)
     ids_m = TV._untile(ids_m, 32, 32)
     occ_m = TV._untile(occ_m, 32, 32)
     ids_w, occ_w = TV._wavefront_records(scene, cfg, packed, 0, 32)

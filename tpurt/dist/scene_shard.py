@@ -1,0 +1,184 @@
+"""Scene sharding v1: cluster blocks sharded across the mesh, rays exchanged
+around a ring (SURVEY.md §5 scaling axis (b) — "ring-style ray exchange",
+the ray tracer's structural analogue of ring attention; BASELINE.json:5
+"scene primitives replicated or sharded per-host").
+
+Layout: a 1-D mesh of n devices.  The IMAGE is row-slab sharded (the same
+data-parallel axis as tpurt/dist/shard.py) AND the cluster set is sharded:
+device i holds row-slab i of the rays and 1/n of the cluster blocks — the
+streamed wtri_c/attr_c arrays, which dominate packed-scene memory (~190 MB
+of ~250 MB at 1M tris).  Each bounce runs n ring steps: trace resident rays
+against local clusters, fold the per-shard best into the carried
+(t, id) record by (t, gid) — exactly the oracle's argmin-first tie rule —
+then `lax.ppermute` the ray packet to the next device.  After n steps rays
+are home with globally-correct topology.  Shadow rays make the same trip
+per light; occlusion is `t_hit < dist`.  Shading stays the differentiable
+deferred pass (scene pytree replicated in v1; autodiff inserts the psum for
+scene-parameter gradients).
+
+Cost model: forward communication is 6 f32 + records per ray per step over
+ICI — bandwidth-bound, overlappable; v1 optimizes for correctness and is
+validated against replicated rendering on the CPU mesh (tests/test_dist.py).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from tpurt import constants as C
+from tpurt.core import geom
+from tpurt.core.types import RenderConfig
+from tpurt.dist.shard import TILE_AXIS, _rows_per_device
+
+
+def _pad_clusters_to(tri_ids, n: int):
+    """Pad the cluster list to a multiple of n with duplicates of cluster 0
+    (duplicate clusters are harmless under closest-hit and any-hit)."""
+    Ccount = tri_ids.shape[0]
+    C_pad = -(-Ccount // n) * n
+    if C_pad != Ccount:
+        pad = jnp.broadcast_to(tri_ids[:1], (C_pad - Ccount, tri_ids.shape[1]))
+        tri_ids = jnp.concatenate([tri_ids, pad], axis=0)
+    return tri_ids
+
+
+def _merge(best_t, best_id, t_new, id_new):
+    """Fold a shard's partial hits into the carried record by (t, gid):
+    smaller t wins; on exact-t ties the smaller global primitive id wins
+    (tpurt/constants.py tie convention, matching the oracle's argmin)."""
+    tie = (t_new == best_t) & (t_new < C.T_NONE) & (id_new >= 0)
+    tie = tie & ((id_new < best_id) | (best_id < 0))
+    imp = (t_new < best_t) | tie
+    return jnp.where(imp, t_new, best_t), jnp.where(imp, id_new, best_id)
+
+
+def _ring_closest(packed, config, o, d, alive, axis, n):
+    """n ring steps of closest-hit: returns (ids, t) global bests for the
+    rays that START on this device (they travel the full ring and land back
+    home on the last permute)."""
+    from tpurt.kernels.traversal import RAYS, trace_bounce
+
+    N = o.shape[0]
+    state = (
+        o, d, alive,
+        jnp.full((N,), C.T_NONE, jnp.float32),
+        jnp.full((N,), -1, jnp.int32),
+    )
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    for _step in range(n):
+        o_c, d_c, al_c, bt, bid = state
+        ids_s, _occ, t_s, _ = trace_bounce(
+            packed, config, o_c, d_c, al_c,
+            jnp.asarray(N, jnp.int32),
+        )
+        bt, bid = _merge(bt, bid, t_s, ids_s)
+        state = lax.ppermute((o_c, d_c, al_c, bt, bid), axis, perm)
+    _, _, _, bt, bid = state
+    return bid, bt
+
+
+def _hit_frame(scene_sg, o, d, ids, T):
+    """Differentiation-free hit geometry for ray continuation / shadows."""
+    from tpurt.core import vec
+    from tpurt.shading.deferred import _hit_geometry, _recompute_tuv
+
+    miss = ids < 0
+    is_tri = (~miss) & (ids < T)
+    prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
+    t, u, v = _recompute_tuv(scene_sg, o, d, prim, is_tri)
+    p, n, mat = _hit_geometry(scene_sg, o, d, t, prim, is_tri, u, v)
+    p_off = p + n * C.RAY_OFFSET_EPS
+    refl_dir = vec.reflect(d, n)
+    refl = scene_sg.materials.reflectivity[mat]
+    return p, p_off, refl_dir, (~miss) & (refl > 0.0)
+
+
+def _render_slab_ring(scene, config, tri_ids_loc, row0, nrows, axis, n):
+    """Per-device body under shard_map: trace this device's row slab against
+    the ring of cluster shards, then shade deferentially."""
+    from tpurt.kernels.packc import pack_clusters
+    from tpurt.kernels.traversal import RAYS
+    from tpurt.shading.deferred import HitRecords, shade_from_records
+
+    sg = jax.lax.stop_gradient
+    packed = pack_clusters(scene, tri_ids_loc)
+    scene_sg = sg(scene)
+    T = scene.n_tris
+    W = config.width
+    n_pix = nrows * W
+    N_pad = -(-n_pix // RAYS) * RAYS
+
+    o, d = geom.generate_rays(scene.camera, config.height, W, row0, nrows)
+    o = sg(o.reshape(-1, 3))
+    d = sg(d.reshape(-1, 3))
+
+    def padded(x):
+        width = [(0, N_pad - n_pix)] + [(0, 0)] * (x.ndim - 1)
+        return jnp.pad(x, width)
+
+    alive = padded(jnp.ones((n_pix,), bool))
+    o_p, d_p = padded(o), padded(d)
+
+    ids_list, occ_list = [], []
+    for _depth in range(config.max_depth + 1):
+        ids, _t = _ring_closest(packed, config, o_p, d_p, alive, axis, n)
+        ids = jnp.where(alive, ids, -1)
+        p, p_off, refl_dir, alive_next = _hit_frame(
+            scene_sg, o_p, d_p, ids, T
+        )
+        occ_bits = jnp.zeros((N_pad,), jnp.int32)
+        if config.shadows:
+            hit = ids >= 0
+            for li in range(scene.n_lights):
+                to_l = sg(scene.light_pos[li]) - p
+                dist = jnp.sqrt(jnp.sum(to_l * to_l, axis=-1))
+                ldir = to_l / jnp.maximum(dist, 1e-20)[..., None]
+                _ids_s, t_s = _ring_closest(
+                    packed, config, p_off, ldir, hit, axis, n
+                )
+                occ = hit & (t_s < dist - C.RAY_OFFSET_EPS)
+                occ_bits = occ_bits | jnp.where(occ, 1 << li, 0)
+        ids_list.append(ids[:n_pix])
+        occ_list.append(occ_bits[:n_pix])
+        o_p, d_p, alive = p_off, refl_dir, alive_next
+
+    ids = jnp.stack(ids_list)
+    occ = jnp.stack(occ_list)
+    miss = ids < 0
+    is_tri = (~miss) & (ids < T)
+    prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
+    recs = HitRecords(prim=prim, is_tri=is_tri, occ=occ)
+    colors = shade_from_records(
+        scene, o, d, recs, config.max_depth, config.shadows
+    )
+    return colors.reshape(nrows, W, 3)
+
+
+@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+def render_scene_sharded(scene, config: RenderConfig, tri_ids, mesh: Mesh,
+                         axis: str = TILE_AXIS):
+    """Render with BOTH the image and the cluster set sharded over `mesh`.
+
+    tri_ids: the full (C, 128) cluster topology from prepare()/build_clusters
+    (host-concrete or already device-resident).  Returns the full image.
+    """
+    n = mesh.shape[axis]
+    nrows = _rows_per_device(config.height, n)
+    tri_ids = _pad_clusters_to(jnp.asarray(tri_ids), n)
+
+    def body(s, tids_loc):
+        row0 = lax.axis_index(axis) * nrows
+        return _render_slab_ring(s, config, tids_loc, row0, nrows, axis, n)
+
+    full = jax.shard_map(
+        body,
+        mesh=mesh,
+        in_specs=(P(), P(axis, None)),
+        out_specs=P(axis, None, None),
+        check_vma=False,
+    )(scene, tri_ids)
+    return full[: config.height]

@@ -64,6 +64,10 @@ TILE_W = 32
 #: survivor-list capacity (SMEM); overflowing tiles fall back to streaming
 #: every cluster (correct, slow) — see `sovf`
 MAXS = 2048
+#: front-to-back entry-distance buckets for the closest pass: survivors are
+#: emitted bucket-major (nearest first) and a whole bucket is skipped once
+#: every live ray's best hit is nearer than the bucket's entry threshold
+KB = 4
 _BIG = 3.0e37
 
 
@@ -87,14 +91,14 @@ def _trav_kernel(
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, al_ref,
          wtri_hbm, attr_hbm,
-         id_ref, occ_ref, s_surv, s_pass, s_ovf,
+         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
-         sems, ssem) = refs
+         sems, ssem, bstart, keyv, keys_s, ksem) = refs
     else:
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref, wtri_hbm, attr_hbm,
-         id_ref, occ_ref, s_surv, s_pass, s_ovf,
+         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
-         sems, ssem) = refs
+         sems, ssem, bstart, keyv, keys_s, ksem) = refs
     tile_id = pl.program_id(0)
     s_surv[0, tile_id] = 0
     s_pass[0, tile_id] = 0
@@ -105,7 +109,39 @@ def _trav_kernel(
 
     glob = glob_ref[...]
     aabb = aabb_ref[...]
+    # scene root box: reduce cluster bounds (pad clusters are empty boxes at
+    # ±BIG, so they never win the min/max)
+    root_lo = [jnp.min(aabb[k : k + 1, :]) for k in range(3)]
+    root_hi = [jnp.max(aabb[3 + k : 4 + k, :]) for k in range(3)]
     lane_g = lax.broadcasted_iota(jnp.int32, glob.shape, 1)
+
+    def fkey(x):
+        """Order-preserving float32 → int32 key (total order, no NaNs in
+        inputs): negative floats get their magnitude bits flipped."""
+        b = lax.bitcast_convert_type(x, jnp.int32)
+        return b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+
+    def root_hit(o3, d3):
+        """(1, R) bool: can this ray possibly enter the scene root box?
+        Rays that miss it (sky) are dropped from the live set — correct
+        (they can hit nothing) and essential for t-termination: one sky
+        lane would otherwise hold every tile at tmax = ∞."""
+        t_lo = jnp.full_like(o3[0], -_BIG)
+        t_hi = jnp.full_like(o3[0], _BIG)
+        for k in range(3):
+            dk = d3[k]
+            par = jnp.abs(dk) < 1e-12
+            safe = jnp.where(par, jnp.where(dk >= 0, 1e-12, -1e-12), dk)
+            ta = (root_lo[k] - o3[k]) / safe
+            tb_ = (root_hi[k] - o3[k]) / safe
+            near = jnp.minimum(ta, tb_)
+            far = jnp.maximum(ta, tb_)
+            inside = (o3[k] >= root_lo[k]) & (o3[k] <= root_hi[k])
+            near = jnp.where(par, jnp.where(inside, -_BIG, _BIG), near)
+            far = jnp.where(par, jnp.where(inside, _BIG, -_BIG), far)
+            t_lo = jnp.maximum(t_lo, near)
+            t_hi = jnp.minimum(t_hi, far)
+        return (t_lo <= t_hi) & (t_hi > 0.0)
 
     def g(k):
         return jnp.sum(jnp.where(lane_g == k, glob, 0.0), axis=1, keepdims=True)
@@ -245,55 +281,86 @@ def _trav_kernel(
             exit_ = jnp.minimum(exit_, k_hi)
         ok = (entry <= exit_) & (exit_ > 0.0) & any_col
         ok = ok & (lax.broadcasted_iota(jnp.int32, (GRPS, C_pad), 1) < Ccount)
+
+        # ---- front-to-back bucketing of whole-tile survivors --------------
+        # Quantize each surviving cluster's conservative entry distance into
+        # KB buckets between the nearest and farthest survivor (entries < 0
+        # mean "origin inside the box" → bucket 0).  Survivors are emitted
+        # bucket-major so the streaming loop visits near geometry first and
+        # can stop once every live ray's best hit precedes a bucket.
+        ok0 = ok[0:1, :]
+        entry0 = jnp.maximum(entry[0:1, :], 0.0)
+        emin = jnp.min(jnp.where(ok0, entry0, _BIG))
+        emax = jnp.max(jnp.where(ok0, entry0, -_BIG))
+        span = jnp.maximum(emax - emin, 1e-30)
+        buck = jnp.clip(
+            ((entry0 - emin) * (KB / span)).astype(jnp.int32), 0, KB - 1
+        )                                             # (1, C_pad)
+        brow = lax.broadcasted_iota(jnp.int32, (KB, C_pad), 0)
+        okb = (brow == buck) & ok0                    # (KB, C_pad)
+        # bucket entry thresholds as order-preserving int keys → lanes 0..KB
+        lane_i = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        thr = emin + lane_i.astype(f32) * (span / KB)
+        keyv[0:1, :] = fkey(thr)
+
         # word-packed compaction: a serial scan of all C_pad lanes on the
-        # scalar core costs ~100 µs/pass; instead pack the mask into 16-bit
-        # words with one MXU matmul and let the scalar loop skip zero words
+        # scalar core costs ~100 µs/pass; instead pack the masks into 16-bit
+        # words with MXU matmuls and let the scalar loop skip zero words
         # (typical tiles survive a handful of clusters).
-        okf = ok.astype(f32)
-        words = jnp.zeros((GRPS, NW), jnp.int32)
-        for ch in range(C_pad // PCHUNK):
-            wf = lax.dot_general(
-                okf[:, ch * PCHUNK : (ch + 1) * PCHUNK], wpack,
-                (((1,), (0,)), ((), ())),
-                preferred_element_type=f32,
-                precision=lax.Precision.HIGHEST,
-            )                                          # (GRPS, NWC) exact ints
-            wi = jnp.round(wf).astype(jnp.int32)
-            # place chunk words into the full word vector via lane masking
-            in_ch = (lanes_nw >= ch * NWC) & (lanes_nw < (ch + 1) * NWC)
-            shifted = jnp.pad(wi, ((0, 0), (ch * NWC, NW - (ch + 1) * NWC)))
-            words = jnp.where(in_ch, shifted, words)
-        maskv[...] = words
+        def pack_words(okf):
+            rows = okf.shape[0]
+            words = jnp.zeros((rows, NW), jnp.int32)
+            for ch in range(C_pad // PCHUNK):
+                wf = lax.dot_general(
+                    okf[:, ch * PCHUNK : (ch + 1) * PCHUNK], wpack,
+                    (((1,), (0,)), ((), ())),
+                    preferred_element_type=f32,
+                    precision=lax.Precision.HIGHEST,
+                )                                      # (rows, NWC) exact ints
+                wi = jnp.round(wf).astype(jnp.int32)
+                in_ch = (lanes_nw >= ch * NWC) & (lanes_nw < (ch + 1) * NWC)
+                shifted = jnp.pad(wi, ((0, 0), (ch * NWC, NW - (ch + 1) * NWC)))
+                words = jnp.where(in_ch, shifted, words)
+            return words
+
+        maskv[0:KB, :] = pack_words(okb.astype(f32))
+        maskv[KB : KB + NCH, :] = pack_words(ok[1:, :].astype(f32))
         cp = pltpu.make_async_copy(maskv, masks, ssem)
         cp.start()
+        cpk = pltpu.make_async_copy(keyv, keys_s, ksem)
+        cpk.start()
         cp.wait()
+        cpk.wait()
         scnt[0] = 0
         sovf[0] = 0
 
-        def outer(gword, _):
-            w = masks[0, gword]
+        for kb in range(KB):
+            def outer(gword, _, kb=kb):
+                w = masks[kb, gword]
 
-            @pl.when(w != 0)
-            def _():
-                def inner(b, _):
-                    @pl.when(((w >> b) & 1) != 0)
-                    def _():
-                        k = scnt[0]
-
-                        @pl.when(k < MAXS)
+                @pl.when(w != 0)
+                def _():
+                    def inner(b, _):
+                        @pl.when(((w >> b) & 1) != 0)
                         def _():
-                            slist[k] = gword * 16 + b
+                            k = scnt[0]
 
-                        @pl.when(k >= MAXS)
-                        def _():
-                            sovf[0] = 1
-                        scnt[0] = k + 1
-                    return 0
+                            @pl.when(k < MAXS)
+                            def _():
+                                slist[k] = gword * 16 + b
 
-                lax.fori_loop(0, 16, inner, 0, unroll=False)
-            return 0
+                            @pl.when(k >= MAXS)
+                            def _():
+                                sovf[0] = 1
+                            scnt[0] = k + 1
+                        return 0
 
-        lax.fori_loop(0, C_pad // 16, outer, 0, unroll=False)
+                    lax.fori_loop(0, 16, inner, 0, unroll=False)
+                return 0
+
+            lax.fori_loop(0, C_pad // 16, outer, 0, unroll=False)
+            bstart[kb + 1] = jnp.minimum(scnt[0], MAXS)
+        bstart[0] = 0
         s_surv[0, tile_id] = s_surv[0, tile_id] + scnt[0]
         s_pass[0, tile_id] = s_pass[0, tile_id] + 1
         s_ovf[0, tile_id] = s_ovf[0, tile_id] + sovf[0]
@@ -383,68 +450,99 @@ def _trav_kernel(
 
         return n, sid
 
-    def cluster_loop(X, with_attrs, occ_update=None, t_hi_vec=None):
-        """Streaming over the SMEM survivor list with a DEPTH-deep DMA
+    def cluster_range(X, j0, j1, sid, with_attrs):
+        """Stream survivor-list entries [j0, j1) with a DEPTH-deep DMA
         pipeline: per-cluster compute (~0.7 µs) is shorter than HBM DMA
         latency, so a 2-deep pipeline stalls on the wait; issuing several
         clusters ahead keeps the DMA engine saturated."""
         DEPTH = 4
-        n, sid = survivors()
+        n_seg = j1 - j0
 
-        @pl.when(n > 0)
+        @pl.when(n_seg > 0)
         def _():
             for ahead in range(DEPTH - 1):
-                @pl.when(ahead < n)
+                @pl.when(ahead < n_seg)
                 def _(ahead=ahead):
-                    for op in dmas(ahead % DEPTH, sid(ahead), with_attrs):
+                    for op in dmas(ahead % DEPTH, sid(j0 + ahead), with_attrs):
                         op.start()
 
-            def body(j, _):
-                slot = j % DEPTH
-                c = sid(j)
+            def body(i, _):
+                slot = i % DEPTH
+                c = sid(j0 + i)
 
-                @pl.when(j + DEPTH - 1 < n)
+                @pl.when(i + DEPTH - 1 < n_seg)
                 def _():
                     for op in dmas(
-                        (j + DEPTH - 1) % DEPTH, sid(j + DEPTH - 1), with_attrs
+                        (i + DEPTH - 1) % DEPTH, sid(j0 + i + DEPTH - 1),
+                        with_attrs,
                     ):
                         op.start()
 
-                for op in dmas(slot, sid(j), with_attrs):
+                for op in dmas(slot, c, with_attrs):
                     op.wait()
                 cw = c // 16
                 cb = c % 16
                 for ch in range(NCH):
-                    bit = (masks[1 + ch, cw] >> cb) & 1
+                    bit = (masks[KB + ch, cw] >> cb) & 1
 
                     @pl.when(bit != 0)
                     def _(ch=ch):
                         sl = slice(ch * RCH, (ch + 1) * RCH)
-                        t_hi = C.T_MAX if t_hi_vec is None else t_hi_vec[:, sl]
-                        tm, u, v = tri_math(wscr[slot], X[:, sl], t_hi)
-                        if occ_update is None:
-                            fold(tm, u, v, ascr[slot], sl, iota_ch)
-                        else:
-                            occ_update(tm, sl)
+                        tm, u, v = tri_math(wscr[slot], X[:, sl], C.T_MAX)
+                        fold(tm, u, v, ascr[slot], sl, iota_ch)
                 return 0
 
-            lax.fori_loop(0, n, body, 0, unroll=False)
+            lax.fori_loop(0, n_seg, body, 0, unroll=False)
+
+    def update_tmax_key(alive_t):
+        """DMA the int key of max-over-live-lanes best t into SMEM so the
+        scalar core can gate the next bucket (vector→scalar goes through
+        memory on this machine; ~200 B per update, KB-1 updates per pass)."""
+        tmaxv = jnp.max(jnp.where(alive_t, tb[...], -_BIG), axis=1,
+                        keepdims=True)
+        # bitcast AFTER broadcasting: tpu.bitcast lowers only for vectors
+        keyv[1:2, :] = fkey(jnp.broadcast_to(tmaxv, (1, LANES)))
+        cp = pltpu.make_async_copy(keyv.at[1], keys_s.at[1], ksem)
+        cp.start()
+        cp.wait()
 
     def closest(o3, d3, alive):
-        """Best hit → (t, attrs (TROWS,R), u, v) via scratch refs."""
+        """Best hit → (t, attrs (TROWS,R), u, v) via scratch refs.
+
+        Order: resident spheres first (cheap, tightens bests), then cluster
+        buckets front to back; bucket k > 0 is skipped entirely once every
+        live ray's best hit is nearer than the bucket's entry threshold —
+        the t-termination that makes occluder-dense scenes cheap.  Skips
+        are exact, never approximate: a skipped cluster's conservative
+        entry exceeds the farthest current best, so none of its hits could
+        win (ties impossible: entry > tmax is strict)."""
         X = build_X(o3, d3)
         tb[...] = jnp.full((1, R), C.T_NONE, f32)
         ab[...] = jnp.zeros((TROWS, R), f32)
         ub[...] = jnp.zeros((1, R), f32)
         vb[...] = jnp.zeros((1, R), f32)
-        cull_to_smem(o3, d3, alive)
-        cluster_loop(X, with_attrs=True)
+        alive_t = alive & root_hit(o3, d3)
+        cull_to_smem(o3, d3, alive_t)
         oo = _dot3(o3, o3)
         od = _dot3(o3, d3)
         for b in range(nb_s):
             tm = sph_math(b, X, oo, od, C.T_MAX)
             zero = jnp.zeros_like(tm)
             fold(tm, zero, zero, sattr_ref[:, b * LANES : (b + 1) * LANES])
+        n, sid = survivors()
+        ovf = sovf[0] == 1
+        for kb in range(KB):
+            if kb == 0:
+                j1 = jnp.where(ovf, n, jnp.minimum(bstart[1], n))
+                cluster_range(X, jnp.int32(0), j1, sid, True)
+            else:
+                j0 = jnp.where(ovf, n, jnp.minimum(bstart[kb], n))
+                j1 = jnp.where(ovf, n, jnp.minimum(bstart[kb + 1], n))
+                update_tmax_key(alive_t)
+
+                @pl.when(keys_s[0, kb] <= keys_s[1, 0])
+                def _(j0=j0, j1=j1):
+                    cluster_range(X, j0, j1, sid, True)
         return tb[...], ab[...], ub[...], vb[...]
 
     def occluded(o3, d3, tmax, alive):
@@ -459,12 +557,22 @@ def _trav_kernel(
         signaled for the next pass."""
         X = build_X(o3, d3)
         occb[...] = jnp.zeros((1, R), jnp.int32)
-        alive_i = alive.astype(jnp.int32)
-        cull_to_smem(o3, d3, alive)
+        alive_t = alive & root_hit(o3, d3)
+        alive_i = alive_t.astype(jnp.int32)
+        cull_to_smem(o3, d3, alive_t)
 
         def upd(tm, sl=slice(None)):
             occb[:, sl] = occb[:, sl] | jnp.any(
                 tm < tmax[:, sl], axis=0, keepdims=True
+            ).astype(jnp.int32)
+
+        # resident spheres first: saturation may exit before any DMA
+        oo = _dot3(o3, o3)
+        od = _dot3(o3, d3)
+        for b in range(nb_s):
+            tm = sph_math(b, X, oo, od, C.T_MAX)
+            occb[...] = occb[...] | jnp.any(
+                tm < tmax, axis=0, keepdims=True
             ).astype(jnp.int32)
 
         n, sid = survivors()
@@ -494,7 +602,7 @@ def _trav_kernel(
                 cw = c // 16
                 cb = c % 16
                 for ch in range(NCH):
-                    bit = (masks[1 + ch, cw] >> cb) & 1
+                    bit = (masks[KB + ch, cw] >> cb) & 1
 
                     @pl.when(bit != 0)
                     def _(ch=ch):
@@ -505,13 +613,6 @@ def _trav_kernel(
 
             lax.while_loop(cond, body, (0, n > 0))
 
-        oo = _dot3(o3, o3)
-        od = _dot3(o3, d3)
-        for b in range(nb_s):
-            tm = sph_math(b, X, oo, od, C.T_MAX)
-            occb[...] = occb[...] | jnp.any(
-                tm < tmax, axis=0, keepdims=True
-            ).astype(jnp.int32)
         return occb[...] > 0
 
     # ---- Whitted record loop ---------------------------------------------
@@ -550,6 +651,9 @@ def _trav_kernel(
         id_ref[depth : depth + 1, :] = jnp.where(
             hit, jnp.round(gid), -1.0
         ).astype(jnp.int32)
+        # best-t record: lets scene-sharded ring rendering merge per-shard
+        # partial hits by (t, gid) at XLA level (tpurt/dist/scene_shard.py)
+        t_ref[depth : depth + 1, :] = jnp.where(hit, t, C.T_NONE)
 
         occ_bits = jnp.zeros((1, R), jnp.int32)
         if shadows:
@@ -580,6 +684,7 @@ def _trav_kernel(
         D = max_depth + 1
         id_ref[...] = jnp.full((D, R), -1, jnp.int32)
         occ_ref[...] = jnp.zeros((D, R), jnp.int32)
+        t_ref[...] = jnp.full((D, R), C.T_NONE, jnp.float32)
 
         @pl.when(tile_id < off_ref[0, 0])
         def _():
@@ -593,8 +698,8 @@ def _trav_kernel(
 # ---------------------------------------------------------------------------
 def _scratch_shapes(C_pad):
     return [
-        pltpu.VMEM((1 + NCH, C_pad // 16), jnp.int32),  # maskv (packed)
-        pltpu.SMEM((1 + NCH, C_pad // 16), jnp.int32),  # masks (packed)
+        pltpu.VMEM((KB + NCH, C_pad // 16), jnp.int32),  # maskv (packed)
+        pltpu.SMEM((KB + NCH, C_pad // 16), jnp.int32),  # masks (packed)
         pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
         pltpu.SMEM((1,), jnp.int32),              # scnt
         pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
@@ -607,6 +712,10 @@ def _scratch_shapes(C_pad):
         pltpu.VMEM((1, RAYS), jnp.int32),         # occb
         pltpu.SemaphoreType.DMA((4, 2)),          # sems[slot, stream]
         pltpu.SemaphoreType.DMA(()),              # ssem (mask copy)
+        pltpu.SMEM((KB + 1,), jnp.int32),         # bstart (bucket bounds)
+        pltpu.VMEM((2, LANES), jnp.int32),        # keyv [thresholds; tmax]
+        pltpu.SMEM((2, LANES), jnp.int32),        # keys_s
+        pltpu.SemaphoreType.DMA(()),              # ksem (key copies)
     ]
 
 
@@ -641,7 +750,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
         packed.n_tris, RAYS, ntx, False,
     )
     off = jnp.asarray(row0, jnp.int32).reshape(1, 1)
-    ids, occ, s_surv, s_pass, s_ovf = pl.pallas_call(
+    ids, occ, tbest, s_surv, s_pass, s_ovf = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -656,6 +765,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
         out_specs=[
             pl.BlockSpec((D, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((D, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -663,6 +773,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
         out_shape=[
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
+            jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.float32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
@@ -671,7 +782,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
         interpret=_interpret(),
     )(off, glob, packed.wsph, packed.sattr, packed.aabb,
       packed.wtri_c, packed.attr_c)
-    return ids, occ, jnp.concatenate([s_surv, s_pass, s_ovf], axis=0)
+    return ids, occ, tbest, jnp.concatenate([s_surv, s_pass, s_ovf], axis=0)
 
 
 def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
@@ -698,7 +809,7 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
     nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
     row = lambda x: x.reshape(1, N)                          # noqa: E731
     ray_spec = pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM)
-    ids, occ, s_surv, s_pass, s_ovf = pl.pallas_call(
+    ids, occ, tbest, s_surv, s_pass, s_ovf = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -715,6 +826,7 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
         out_specs=[
             pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -722,6 +834,7 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
         out_shape=[
             jax.ShapeDtypeStruct((1, N), jnp.int32),
             jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
@@ -733,7 +846,8 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
       row(d[:, 0]), row(d[:, 1]), row(d[:, 2]),
       row(alive.astype(jnp.int32)),
       packed.wtri_c, packed.attr_c)
-    return ids[0], occ[0], jnp.concatenate([s_surv, s_pass, s_ovf], axis=0)
+    return (ids[0], occ[0], tbest[0],
+            jnp.concatenate([s_surv, s_pass, s_ovf], axis=0))
 
 
 def _untile(x, nrows, W):
@@ -813,7 +927,8 @@ def _wavefront_records(scene, config, packed, row0, nrows):
     scene_sg = sg(scene)
 
     with jax.named_scope("tpurt.traversal.b0"):
-        ids0, occ0, _ = trace_records(packed, config, row0, nrows, max_depth=0)
+        ids0, occ0, _, _ = trace_records(packed, config, row0, nrows,
+                                         max_depth=0)
     ids_list = [_untile(ids0, nrows, W)[0]]
     occ_list = [_untile(occ0, nrows, W)[0]]
 
@@ -840,7 +955,7 @@ def _wavefront_records(scene, config, packed, row0, nrows):
         ab = jnp.pad(alive[perm], (0, N_pad - n_pix))
 
         with jax.named_scope(f"tpurt.traversal.b{_depth}"):
-            idsb, occb, _ = trace_bounce(packed, config, ob, db, ab, n_live)
+            idsb, occb, _, _ = trace_bounce(packed, config, ob, db, ab, n_live)
         ids_list.append(idsb[:n_pix][inv])
         occ_list.append(occb[:n_pix][inv])
 
@@ -865,7 +980,7 @@ def render_rows_clustered(scene, config, tri_ids, row0, nrows: int):
         ids, occ = _wavefront_records(scene, config, packed, row0, nrows)
     else:
         with jax.named_scope("tpurt.traversal"):
-            ids, occ, _stats = trace_records(packed, config, row0, nrows)
+            ids, occ, _, _stats = trace_records(packed, config, row0, nrows)
         ids = _untile(ids, nrows, W)
         occ = _untile(occ, nrows, W)
 
@@ -893,5 +1008,5 @@ def traversal_stats(scene, config, tri_ids, row0=0, nrows=None):
 
     nrows = config.height if nrows is None else nrows
     packed = pack_clusters(scene, tri_ids)
-    _, _, stats = trace_records(packed, config, row0, nrows)
+    _, _, _, stats = trace_records(packed, config, row0, nrows)
     return stats  # (3, ntiles): survivors, passes, overflows

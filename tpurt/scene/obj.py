@@ -15,13 +15,18 @@ import numpy as np
 def load_obj(path_or_lines):
     """Parse an .obj file → dict with:
 
-    vertices   (V, 3) f32
+    vertices   (V', 3) f32
     triangles  (T, 3) i32
-    uvs        (V, 2) f32 (zero where the file has none; per-corner uvs are
-               averaged onto vertices — lossy but Scene stores per-vertex uv)
-    normals    (V, 3) f32 or None (file normals, same vertex-averaging)
+    uvs        (V', 2) f32 (zero where the file has none)
+    normals    (V', 3) f32 or None (file normals)
     tri_group  (T,) i32 — usemtl group index per triangle
     groups     list[str] — group names, index = tri_group value
+
+    V' counts UNIQUE (position, uv, normal) corner triples: a position
+    referenced with two different uvs or normals (a texture seam or hard
+    edge) is duplicated so per-corner attributes survive exactly — the
+    Scene stores per-vertex attributes, and averaging across a seam would
+    corrupt textured assets.  Unreferenced positions are dropped.
     """
     if isinstance(path_or_lines, (str, bytes)):
         with open(path_or_lines) as f:
@@ -66,37 +71,45 @@ def load_obj(path_or_lines):
     def resolve(i, n):
         return (i - 1) if i > 0 else (n + i)
 
-    verts = np.asarray(vs, np.float32).reshape(-1, 3)
-    tris = np.empty((len(faces), 3), np.int32)
-    tri_group = np.empty(len(faces), np.int32)
-    uvs = np.zeros((V, 2), np.float32)
-    uv_cnt = np.zeros(V, np.int32)
-    nrms = np.zeros((V, 3), np.float32)
-    nrm_cnt = np.zeros(V, np.int32)
+    verts_in = np.asarray(vs, np.float32).reshape(-1, 3)
+    F = len(faces)
+    tri_group = np.fromiter((g for *_, g in faces), np.int32, count=F)
 
-    for t, (c0, c1, c2, g) in enumerate(faces):
-        tri_group[t] = g
+    # one row per corner: (position idx, uv idx or -1, normal idx or -1);
+    # unique rows become output vertices (seam-preserving duplication)
+    corner = np.empty((F * 3, 3), np.int64)
+    for t, (c0, c1, c2, _g) in enumerate(faces):
         for k, (vi, ti, ni) in enumerate((c0, c1, c2)):
-            v = resolve(vi, V)
-            tris[t, k] = v
-            if ti and vts:
-                uvs[v] += np.asarray(vts[resolve(ti, len(vts))], np.float32)
-                uv_cnt[v] += 1
-            if ni and vns:
-                nrms[v] += np.asarray(vns[resolve(ni, len(vns))], np.float32)
-                nrm_cnt[v] += 1
+            corner[t * 3 + k] = (
+                resolve(vi, V),
+                resolve(ti, len(vts)) if ti else -1,
+                resolve(ni, len(vns)) if ni else -1,
+            )
+    uniq, inverse = np.unique(corner, axis=0, return_inverse=True)
+    tris = inverse.reshape(F, 3).astype(np.int32)
 
-    uvs = np.where(uv_cnt[:, None] > 0, uvs / np.maximum(uv_cnt[:, None], 1), 0.0)
-    has_normals = nrm_cnt.sum() > 0
+    verts = verts_in[uniq[:, 0]]
+    uvs = np.zeros((len(uniq), 2), np.float32)
+    if vts:
+        vt_arr = np.asarray(vts, np.float32).reshape(-1, 2)
+        has_uv = uniq[:, 1] >= 0
+        uvs[has_uv] = vt_arr[uniq[has_uv, 1]]
+    has_normals = bool(vns) and (uniq[:, 2] >= 0).any()
     if has_normals:
+        vn_arr = np.asarray(vns, np.float32).reshape(-1, 3)
+        nrms = np.zeros((len(uniq), 3), np.float32)
+        has_n = uniq[:, 2] >= 0
+        nrms[has_n] = vn_arr[uniq[has_n, 2]]
         lens = np.linalg.norm(nrms, axis=-1, keepdims=True)
         nrms = (nrms / np.maximum(lens, 1e-20)).astype(np.float32)
+    else:
+        nrms = None
 
     return {
         "vertices": verts,
         "triangles": tris,
-        "uvs": uvs.astype(np.float32),
-        "normals": nrms if has_normals else None,
+        "uvs": uvs,
+        "normals": nrms,
         "tri_group": tri_group,
         "groups": groups,
     }
@@ -121,3 +134,40 @@ def scene_from_obj(path, materials=None, lights=None, camera=None, smooth=True,
         smooth=smooth,
         **kw,
     )
+
+
+def save_obj(path, vertices, triangles, uvs=None, normals=None,
+             group_names=None, tri_group=None):
+    """Write a mesh as Wavefront .obj (per-vertex uv/normal layout — the
+    inverse of load_obj's seam-duplicated output; round-trips exactly)."""
+    vertices = np.asarray(vertices)
+    triangles = np.asarray(triangles)
+    has_uv = uvs is not None
+    has_n = normals is not None
+    with open(path, "w") as f:
+        f.write("# tpurt mesh export\n")
+        for v in vertices:
+            f.write(f"v {v[0]:.9g} {v[1]:.9g} {v[2]:.9g}\n")
+        if has_uv:
+            for t in np.asarray(uvs):
+                f.write(f"vt {t[0]:.9g} {t[1]:.9g}\n")
+        if has_n:
+            for n in np.asarray(normals):
+                f.write(f"vn {n[0]:.9g} {n[1]:.9g} {n[2]:.9g}\n")
+        cur = -1
+        for ti, tri in enumerate(triangles):
+            if tri_group is not None and tri_group[ti] != cur:
+                cur = int(tri_group[ti])
+                name = (group_names[cur] if group_names is not None
+                        else f"mat{cur}")
+                f.write(f"usemtl {name}\n")
+            idx = [int(i) + 1 for i in tri]
+            if has_uv and has_n:
+                f.write("f {0}/{0}/{0} {1}/{1}/{1} {2}/{2}/{2}\n".format(*idx))
+            elif has_uv:
+                f.write("f {0}/{0} {1}/{1} {2}/{2}\n".format(*idx))
+            elif has_n:
+                f.write("f {0}//{0} {1}//{1} {2}//{2}\n".format(*idx))
+            else:
+                f.write("f {0} {1} {2}\n".format(*idx))
+    return path
