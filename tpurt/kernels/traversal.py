@@ -91,18 +91,19 @@ def _trav_kernel(
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, al_ref,
          wtri_hbm, attr_hbm,
-         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf,
+         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf, s_strm,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
          sems, ssem, bstart, keyv, keys_s, ksem) = refs
     else:
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref, wtri_hbm, attr_hbm,
-         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf,
+         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf, s_strm,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
          sems, ssem, bstart, keyv, keys_s, ksem) = refs
     tile_id = pl.program_id(0)
     s_surv[0, tile_id] = 0
     s_pass[0, tile_id] = 0
     s_ovf[0, tile_id] = 0
+    s_strm[0, tile_id] = 0
     f32 = jnp.float32
     C_pad = aabb_ref.shape[1]
     RCH = R // NCH
@@ -222,15 +223,18 @@ def _trav_kernel(
             out = jnp.where(grow == k, v, out)
         return out
 
-    def cull_to_smem(o3, d3, alive):
-        """Survivor masks of the current ray set vs all cluster AABBs →
-        compacted whole-tile index list + per-chunk bits in SMEM.
+    def _interval_ok(o3, d3, alive, tmax=None):
+        """Conservative interval cull of the current ray set vs all cluster
+        AABBs → (ok (GRPS, C_pad) bool, entry (GRPS, C_pad) f32).
         Conservative: a cluster any LIVE ray might hit always survives.
         The alive mask is essential, not an optimization nicety: dead lanes
         carry garbage origins (p = o + T_NONE·d ≈ ±1e30), and without
         masking one sky pixel per tile blows the interval bounds open and
         the cull admits every cluster (measured: 16 s/frame unmasked →
-        ~1 s masked, config 4)."""
+        ~1 s masked, config 4).  `tmax` (1, R), if given, additionally
+        rejects clusters whose conservative entry lies beyond every live
+        lane's ray range — for shadow rays this culls geometry behind the
+        light."""
 
         def bounds(x, lo):
             """Per-group masked min/max of a (1, R) row → GRPS scalars."""
@@ -281,6 +285,19 @@ def _trav_kernel(
             exit_ = jnp.minimum(exit_, k_hi)
         ok = (entry <= exit_) & (exit_ > 0.0) & any_col
         ok = ok & (lax.broadcasted_iota(jnp.int32, (GRPS, C_pad), 1) < Ccount)
+        if tmax is not None:
+            t_hi = gcol(bounds(tmax, False))          # per-group max range
+            ok = ok & (entry <= t_hi)
+        return ok, entry
+
+    def cull_to_smem(ok0, entry0, chunk_rows):
+        """Emit cull results to SMEM: bucket the whole-tile survivor row
+        `ok0` (1, C_pad) front-to-back by conservative entry `entry0`
+        (1, C_pad), pack bucket + per-chunk mask rows into 16-bit words,
+        DMA to SMEM, and compact a bucket-major survivor index list.
+        `chunk_rows`: list of (NCH, C_pad) bool rows (one set per shadow
+        light, or the single closest-pass set) packed after the KB bucket
+        rows — the streaming loop's per-chunk compute-skip bits."""
 
         # ---- front-to-back bucketing of whole-tile survivors --------------
         # Quantize each surviving cluster's conservative entry distance into
@@ -288,8 +305,7 @@ def _trav_kernel(
         # mean "origin inside the box" → bucket 0).  Survivors are emitted
         # bucket-major so the streaming loop visits near geometry first and
         # can stop once every live ray's best hit precedes a bucket.
-        ok0 = ok[0:1, :]
-        entry0 = jnp.maximum(entry[0:1, :], 0.0)
+        entry0 = jnp.maximum(entry0, 0.0)
         emin = jnp.min(jnp.where(ok0, entry0, _BIG))
         emax = jnp.max(jnp.where(ok0, entry0, -_BIG))
         span = jnp.maximum(emax - emin, 1e-30)
@@ -324,7 +340,9 @@ def _trav_kernel(
             return words
 
         maskv[0:KB, :] = pack_words(okb.astype(f32))
-        maskv[KB : KB + NCH, :] = pack_words(ok[1:, :].astype(f32))
+        for i, rows in enumerate(chunk_rows):
+            maskv[KB + i * NCH : KB + (i + 1) * NCH, :] = pack_words(
+                rows.astype(f32))
         cp = pltpu.make_async_copy(maskv, masks, ssem)
         cp.start()
         cpk = pltpu.make_async_copy(keyv, keys_s, ksem)
@@ -460,6 +478,9 @@ def _trav_kernel(
 
         @pl.when(n_seg > 0)
         def _():
+            # clusters actually streamed (vs emitted): quantifies what the
+            # front-to-back termination saved — surfaced by traversal_stats
+            s_strm[0, tile_id] = s_strm[0, tile_id] + n_seg
             for ahead in range(DEPTH - 1):
                 @pl.when(ahead < n_seg)
                 def _(ahead=ahead):
@@ -522,7 +543,8 @@ def _trav_kernel(
         ub[...] = jnp.zeros((1, R), f32)
         vb[...] = jnp.zeros((1, R), f32)
         alive_t = alive & root_hit(o3, d3)
-        cull_to_smem(o3, d3, alive_t)
+        ok, entry = _interval_ok(o3, d3, alive_t)
+        cull_to_smem(ok[0:1, :], entry[0:1, :], [ok[1:, :]])
         oo = _dot3(o3, o3)
         od = _dot3(o3, d3)
         for b in range(nb_s):
@@ -545,8 +567,27 @@ def _trav_kernel(
                     cluster_range(X, j0, j1, sid, True)
         return tb[...], ab[...], ub[...], vb[...]
 
-    def occluded(o3, d3, tmax, alive):
-        """Any-hit within (T_MIN, tmax) → (1, R) bool.
+    def occluded(o3, d3, tmax, alive, cull_ray=None):
+        """Any-hit within (T_MIN, tmax) along the ray (o3, d3) → (1, R) bool.
+
+        Intersection math runs on (o3, d3) with the oracle's exact band
+        (T_MIN, tmax) — bit-compatible with `geom.any_hit` — but the
+        CULL may use a different parametrization of the same segment:
+        `cull_ray = (o_c, d_c, tmax_c)`.  The shadow pass passes the ray
+        reversed, FROM the light TOWARD the surface: the segment covers
+        the same geometry (so the cull stays conservative for the forward
+        intersection) but the cull ray-set's origin interval collapses to
+        a point, keeping the per-tile frustum a thin cone even when the
+        tile's hit points straddle a depth discontinuity — the case that
+        made surface-origin shadow culls admit most of the scene.
+
+        Intersecting along the reversed ray directly is a recorded
+        negative result: the originating surface sits at
+        t = dist − eps·(n·l̂), i.e. exactly AT the tmax = dist − eps
+        boundary whenever the normal points straight at the light, so
+        every directly-lit point becomes an ulp-noise knife edge (1-bit
+        occ flips between the wavefront and multibounce paths, which
+        compute p_off in different float op orders).
 
         Early exit: shadow rays saturate (a corridor of geometry occludes
         every live lane) far before the survivor list is exhausted; the
@@ -554,12 +595,20 @@ def _trav_kernel(
         DMA is started BEFORE the current cluster's compute (overlap), and
         only when the pre-compute state says we will continue — so at most
         one extra cluster runs after saturation and no semaphore is left
-        signaled for the next pass."""
+        signaled for the next pass.
+
+        Fusing all lights into one pass (shared cull + DMA stream) was
+        tried twice and is a recorded negative result both times — see
+        docs/design.md: the union survivor list runs until EVERY light
+        saturates, which costs more than it saves even with per-light
+        batch gating (r2: +40% on config 5's b0 shadow pass)."""
         X = build_X(o3, d3)
         occb[...] = jnp.zeros((1, R), jnp.int32)
         alive_t = alive & root_hit(o3, d3)
         alive_i = alive_t.astype(jnp.int32)
-        cull_to_smem(o3, d3, alive_t)
+        o_c, d_c, tmax_c = cull_ray if cull_ray is not None else (o3, d3, tmax)
+        ok, entry = _interval_ok(o_c, d_c, alive_t, tmax=tmax_c)
+        cull_to_smem(ok[0:1, :], entry[0:1, :], [ok[1:, :]])
 
         def upd(tm, sl=slice(None)):
             occb[:, sl] = occb[:, sl] | jnp.any(
@@ -611,7 +660,8 @@ def _trav_kernel(
                         upd(tm, sl)
                 return (j + 1, nxt)
 
-            lax.while_loop(cond, body, (0, n > 0))
+            visited, _ = lax.while_loop(cond, body, (0, n > 0))
+            s_strm[0, tile_id] = s_strm[0, tile_id] + visited
 
         return occb[...] > 0
 
@@ -658,11 +708,23 @@ def _trav_kernel(
         occ_bits = jnp.zeros((1, R), jnp.int32)
         if shadows:
             for li in range(n_lights):
+                # intersection ray: surface → light, exactly the oracle's
+                # convention (geom.any_hit, ref/oracle.py:142).  cull ray:
+                # the SAME segment reversed, light → surface — its origin
+                # interval is a single point, so the per-tile cull frustum
+                # stays a thin cone even when the tile's hit points span a
+                # depth discontinuity (the case that made surface-origin
+                # shadow culls admit most of the scene).  tmax_c = dist
+                # covers the forward band (T_MIN, dist − eps) with slack —
+                # the cull is conservative, the eps bands don't matter.
                 lpos = g3(PK.NGLOB_BASE + 3 * li)
-                to_l = _sub3(lpos, p)
-                dist = jnp.sqrt(_dot3(to_l, to_l))
+                to_l = _sub3(lpos, p)   # dist from p, NOT p_off — oracle's
+                dist = jnp.sqrt(_dot3(to_l, to_l))  # exact convention
                 ldir = _scale3(to_l, 1.0 / jnp.maximum(dist, 1e-20))
-                occ = occluded(p_off, ldir, dist - C.RAY_OFFSET_EPS, hit)
+                o_l = tuple(jnp.broadcast_to(c, (1, R)) for c in lpos)
+                occ = occluded(
+                    p_off, ldir, dist - C.RAY_OFFSET_EPS, hit,
+                    cull_ray=(o_l, _neg3(ldir), dist))
                 # mask by hit: dead lanes compute garbage rays (SIMD) and
                 # may report occlusion; records keep them at exactly 0
                 occ_bits = occ_bits | jnp.where(occ & hit, 1 << li, 0)
@@ -697,9 +759,10 @@ def _trav_kernel(
 # pallas_call wrapper + public clustered render path
 # ---------------------------------------------------------------------------
 def _scratch_shapes(C_pad):
+    mrows = KB + NCH
     return [
-        pltpu.VMEM((KB + NCH, C_pad // 16), jnp.int32),  # maskv (packed)
-        pltpu.SMEM((KB + NCH, C_pad // 16), jnp.int32),  # masks (packed)
+        pltpu.VMEM((mrows, C_pad // 16), jnp.int32),  # maskv (packed)
+        pltpu.SMEM((mrows, C_pad // 16), jnp.int32),  # masks (packed)
         pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
         pltpu.SMEM((1,), jnp.int32),              # scnt
         pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
@@ -750,7 +813,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
         packed.n_tris, RAYS, ntx, False,
     )
     off = jnp.asarray(row0, jnp.int32).reshape(1, 1)
-    ids, occ, tbest, s_surv, s_pass, s_ovf = pl.pallas_call(
+    ids, occ, tbest, s_surv, s_pass, s_ovf, s_strm = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -769,6 +832,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
@@ -777,12 +841,14 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
         ],
         scratch_shapes=_scratch_shapes(C_pad),
         interpret=_interpret(),
     )(off, glob, packed.wsph, packed.sattr, packed.aabb,
       packed.wtri_c, packed.attr_c)
-    return ids, occ, tbest, jnp.concatenate([s_surv, s_pass, s_ovf], axis=0)
+    return (ids, occ, tbest,
+            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
 
 
 def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
@@ -809,7 +875,7 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
     nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
     row = lambda x: x.reshape(1, N)                          # noqa: E731
     ray_spec = pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM)
-    ids, occ, tbest, s_surv, s_pass, s_ovf = pl.pallas_call(
+    ids, occ, tbest, s_surv, s_pass, s_ovf, s_strm = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -830,11 +896,13 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, N), jnp.int32),
             jax.ShapeDtypeStruct((1, N), jnp.int32),
             jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
@@ -847,7 +915,7 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
       row(alive.astype(jnp.int32)),
       packed.wtri_c, packed.attr_c)
     return (ids[0], occ[0], tbest[0],
-            jnp.concatenate([s_surv, s_pass, s_ovf], axis=0))
+            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
 
 
 def _untile(x, nrows, W):
@@ -943,21 +1011,51 @@ def _wavefront_records(scene, config, packed, row0, nrows):
     d = sg(d.reshape(-1, 3))
 
     N_pad = -(-n_pix // RAYS) * RAYS
-    for _depth in range(1, config.max_depth + 1):
-        o, d, alive = _continue_rays(scene_sg, o, d, ids_list[-1], T)
+
+    def alive_from_ids(ids):
+        """Which lanes continue to the next bounce, from ids ALONE — two int
+        gathers instead of _continue_rays' full hit-geometry recompute.
+        Matches _continue_rays' alive exactly: a path survives iff it hit
+        and the hit material reflects."""
+        miss = ids < 0
+        is_tri = (~miss) & (ids < T)
+        tid = jnp.clip(ids, 0, max(T - 1, 0))
+        sid = jnp.clip(ids - T, 0, max(scene.n_spheres - 1, 0))
+        mat = jnp.where(is_tri, scene_sg.tri_mat[tid], scene_sg.sph_mat[sid])
+        return (~miss) & (scene_sg.materials.reflectivity[mat] > 0.0)
+
+    def bounce(o, d, ids, alive, n_live):
+        o, d, _ = _continue_rays(scene_sg, o, d, ids, T)
         key = _bin_key(o, d, lo, hi, alive)
         perm = jnp.argsort(key)
         inv = jnp.argsort(perm)
-        n_live = jnp.sum(alive.astype(jnp.int32))
-
         ob = jnp.pad(o[perm], ((0, N_pad - n_pix), (0, 0)))
         db = jnp.pad(d[perm], ((0, N_pad - n_pix), (0, 0)))
         ab = jnp.pad(alive[perm], (0, N_pad - n_pix))
+        idsb, occb, _, _ = trace_bounce(packed, config, ob, db, ab, n_live)
+        return idsb[:n_pix][inv], occb[:n_pix][inv], o, d
 
+    def bounce_empty(o, d, ids, alive, n_live):
+        # kernel default records for dead lanes: id -1, occ 0.  o/d pass
+        # through unchanged — every later bounce is empty too (alive only
+        # ever shrinks), so the stale rays are never consumed.
+        return (jnp.full((n_pix,), -1, jnp.int32),
+                jnp.zeros((n_pix,), jnp.int32), o, d)
+
+    for _depth in range(1, config.max_depth + 1):
+        alive = alive_from_ids(ids_list[-1])
+        n_live = jnp.sum(alive.astype(jnp.int32))
         with jax.named_scope(f"tpurt.traversal.b{_depth}"):
-            idsb, occb, _, _ = trace_bounce(packed, config, ob, db, ab, n_live)
-        ids_list.append(idsb[:n_pix][inv])
-        occ_list.append(occb[:n_pix][inv])
+            # cond skips EVERYTHING — the hit-geometry recompute inside
+            # _continue_rays, the 1M-ray argsort re-bin, the trace, and the
+            # scatter-back — when no ray survived the previous depth (every
+            # benchmark config: no reflective materials at depth 1).  Only
+            # the two-gather alive mask above is paid unconditionally.
+            idsb, occb, o, d = jax.lax.cond(
+                n_live > 0, bounce, bounce_empty, o, d, ids_list[-1],
+                alive, n_live)
+        ids_list.append(idsb)
+        occ_list.append(occb)
 
     return jnp.stack(ids_list), jnp.stack(occ_list)
 
@@ -1009,4 +1107,4 @@ def traversal_stats(scene, config, tri_ids, row0=0, nrows=None):
     nrows = config.height if nrows is None else nrows
     packed = pack_clusters(scene, tri_ids)
     _, _, _, stats = trace_records(packed, config, row0, nrows)
-    return stats  # (3, ntiles): survivors, passes, overflows
+    return stats  # (4, ntiles): emitted survivors, passes, overflows, streamed

@@ -166,7 +166,7 @@ def shade_from_records(
     thr = jnp.ones((*o.shape[:-1], 1), C.DTYPE)
     alive = jnp.ones(o.shape[:-1], bool)
 
-    for depth in range(max_depth + 1):
+    def layer(depth, accum, thr, alive, o, d):
         prim = recs.prim[depth]
         is_tri = recs.is_tri[depth]
         occ = recs.occ[depth]
@@ -214,5 +214,24 @@ def shade_from_records(
         alive = alive & hit & (refl > 0.0)
         o = p_off
         d = vec.reflect(d, n)
+        return accum, thr, alive, o, d
+
+    def layer_skip(accum, thr, alive, o, d):
+        return accum, thr, alive, o, d
+
+    for depth in range(max_depth + 1):
+        if depth == 0:
+            accum, thr, alive, o, d = layer(depth, accum, thr, alive, o, d)
+        else:
+            # a layer with no live path contributes exactly zero (accum is
+            # alive-masked) — skip its gathers/texture sampling entirely.
+            # Every benchmark config ends all paths at depth 0 (no
+            # reflective materials), so this saves a full shading layer's
+            # gather cost (~360 ms at 1080p, config 5) per empty depth.
+            # lax.cond is reverse-mode differentiable; the skip branch is
+            # the identity, so gradients flow correctly either way.
+            accum, thr, alive, o, d = lax.cond(
+                jnp.any(alive), lambda *s, _d=depth: layer(_d, *s),
+                layer_skip, accum, thr, alive, o, d)
 
     return jnp.clip(accum, C.CLAMP_LO, C.CLAMP_HI)
