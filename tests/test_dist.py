@@ -137,3 +137,78 @@ def test_scene_sharded_reflective_and_grads():
     for f in ("light_color", "sph_center", "vertices"):
         a = np.asarray(getattr(g, f))
         assert np.isfinite(a).all() and np.abs(a).sum() > 0, f
+
+
+# ---------------------------------------------------------------------------
+# failure detection / resumable rendering (SURVEY.md §5 failure-detection row)
+# ---------------------------------------------------------------------------
+def test_render_resumable_crash_and_resume(tmp_path):
+    """Injected crash mid-render; a rerun with the same out_dir completes
+    from the manifest and matches the direct render exactly."""
+    import pytest
+
+    from tpurt.dist import render_resumable
+
+    scene, cfg = configs.config3_spheres(32, 32)
+    direct = np.asarray(render(scene, cfg))
+    out = str(tmp_path / "resume")
+    with pytest.raises(RuntimeError, match="injected"):
+        render_resumable(scene, cfg, out, chunk_rows=8, _fail_after=2)
+    # exactly 2 of 4 chunks persisted
+    import json as _json
+
+    with open(out + "/manifest.json") as f:
+        assert len(_json.load(f)["chunks"]) == 2
+    img = render_resumable(scene, cfg, out, chunk_rows=8)
+    # chunked slabs re-tile the megakernel grid: reassociation-level diffs
+    np.testing.assert_allclose(img, direct, atol=5e-6)
+
+
+def test_render_resumable_sharded_chunks(tmp_path):
+    """Chunks routed through render_sharded over the 8-device mesh match
+    the single-device render (window sharding + padding rows crop)."""
+    from tpurt.dist import render_resumable
+
+    scene, cfg = configs.config3_spheres(36, 32)  # 36 rows: ragged chunks
+    direct = np.asarray(render(scene, cfg))
+    mesh = make_mesh(8)
+    img = render_resumable(
+        scene, cfg, str(tmp_path / "shard"), chunk_rows=16, mesh=mesh
+    )
+    np.testing.assert_allclose(img, direct, atol=2e-6)
+
+
+def test_watchdog_and_retries():
+    import time as _time
+
+    import pytest
+
+    from tpurt.dist import Watchdog, WatchdogTimeout, call_with_retries
+
+    wd = Watchdog(0.2)
+    assert wd.run(lambda: 7) == 7
+    with pytest.raises(WatchdogTimeout):
+        wd.run(_time.sleep, 5.0)
+
+    calls = []
+
+    def flaky():
+        calls.append(1)
+        if len(calls) < 3:
+            raise ValueError("transient")
+        return "ok"
+
+    assert call_with_retries(flaky, retries=3, backoff_s=0.01) == "ok"
+    assert len(calls) == 3
+    # WatchdogTimeout is never retried (device wedged)
+    with pytest.raises(WatchdogTimeout):
+        call_with_retries(
+            lambda: (_ for _ in ()).throw(WatchdogTimeout("x")), retries=3
+        )
+
+
+def test_heartbeat_mesh_roundtrip():
+    from tpurt.dist import heartbeat
+
+    rtt = heartbeat(make_mesh(8), timeout_s=120.0)
+    assert rtt > 0.0

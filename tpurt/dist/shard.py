@@ -86,22 +86,25 @@ def _rows_per_device(height: int, n: int) -> int:
     return -(-height // n)
 
 
-@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+@partial(jax.jit, static_argnames=("config", "mesh", "axis", "row0", "nrows"))
 def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXIS,
-                   plan=None):
-    """Render the full image tile-parallel over `mesh`.
+                   plan=None, row0: int = 0, nrows: int | None = None):
+    """Render rows [row0, row0+nrows) (default: the full image)
+    tile-parallel over `mesh`.
 
     Scene (and plan) replicated, image row-sharded across `axis`.  Pixel-
     identical to the single-device render (each slab computes NDC against
     the full image height) — the determinism property SURVEY.md §4 item 4
-    tests.
+    tests.  The row window lets resumable/chunked rendering
+    (dist/failsafe.py) shard each chunk over the same mesh.
     """
     n = mesh.shape[axis]
-    nrows = _rows_per_device(config.height, n)
+    total = config.height if nrows is None else nrows
+    per = _rows_per_device(total, n)
 
     def tile_fn(s, p):
-        row0 = lax.axis_index(axis) * nrows
-        return render_rows(s, config, row0, nrows, plan=p)
+        r0 = row0 + lax.axis_index(axis) * per
+        return render_rows(s, config, r0, per, plan=p)
 
     full = jax.shard_map(
         tile_fn,
@@ -113,5 +116,5 @@ def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXI
         # single-device parity tests)
         check_vma=False,
     )(scene, plan)
-    # crop padding rows when height does not divide the mesh size
-    return full[: config.height]
+    # crop padding rows when the window does not divide the mesh size
+    return full[:total]
