@@ -22,14 +22,23 @@ __all__ = [
     "build_scene",
     "render",
     "render_and_grad",
+    "prepare",
 ]
 
 
 def __getattr__(name):
     # render API imports lazily to keep `import tpurt` light and to avoid
-    # circular imports from kernels.
-    if name in ("render", "render_and_grad"):
-        from tpurt import render as _render_mod
+    # circular imports from kernels.  Two traps here: `from tpurt import
+    # render` re-enters this __getattr__ if written as a `from` import
+    # (infinite recursion), and importing the tpurt.render SUBMODULE binds
+    # it onto the package, shadowing this hook — so `from tpurt import
+    # render` would return the module on the second lookup.  Import via
+    # importlib, then rebind the public names to the functions.
+    if name in ("render", "render_and_grad", "prepare"):
+        import importlib
 
-        return getattr(_render_mod, name)
+        mod = importlib.import_module("tpurt.render")
+        for n in ("render", "render_and_grad", "prepare"):
+            globals()[n] = getattr(mod, n)
+        return globals()[name]
     raise AttributeError(name)
