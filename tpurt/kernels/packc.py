@@ -5,7 +5,7 @@ cannot sit in VMEM; tpurt/accel/clusters.py partitions their triangles into
 contiguous ≤128-tri blocks, and this module packs per-cluster kernel data
 that lives in HBM and is DMA-streamed by tpurt/kernels/traversal.py:
 
-* ``wtri_c``  (C, 8, 6·128)  Baldwin–Weber forms per cluster (pack.py math)
+* ``wtri_c``  (C, 8, 6, 128)  Baldwin–Weber forms per cluster (pack.py math)
 * ``attr_c``  (C, TROWS, 128) traversal attributes, transposed so the
   one-hot fetch is dot_general((TROWS,128),(128,R)) — dense sublane=TROWS,
   lane=tris blocks, zero padding waste
@@ -44,7 +44,7 @@ LANES = PK.LANES
 
 @pytree_dataclass(meta_fields=("n_clusters", "n_sph_blocks", "n_lights", "n_tris"))
 class PackedClusters:
-    wtri_c: Any     # (C, 8, 6*LANES) f32 — HBM, streamed
+    wtri_c: Any     # (C, 8, 6, LANES) f32 — HBM, streamed
     attr_c: Any     # (C, TROWS, LANES) f32 — HBM, streamed
     aabb: Any       # (8, C_pad) f32 rows [lox loy loz hix hiy hiz 0 0] — SMEM
     wsph: Any       # (8, 2*S_pad) f32 — resident
@@ -69,11 +69,11 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
     e1, e2 = v1 - v0, v2 - v0
 
     groups = PK.tri_form_groups(v0, e1, e2)       # (8, 6, C*128)
-    wtri_c = (
-        groups.reshape(8, 6, Ccount, LANES)
-        .transpose(2, 0, 1, 3)
-        .reshape(Ccount, 8, 6 * LANES)
-    )
+    # kept 4D (C, 8, 6, LANES): the traversal kernel DMA-gathers several
+    # clusters into an (8, 6, NB, LANES) scratch (one strided copy per
+    # cluster) and matmuls the whole block at once — the form axis must be
+    # separable from the lane axis for that destination striding
+    wtri_c = groups.reshape(8, 6, Ccount, LANES).transpose(2, 0, 1, 3)
 
     if scene.smooth:
         n0 = scene.vnormals[tri[:, 0]]

@@ -62,8 +62,10 @@ NCH = 4
 TILE_H = 32
 TILE_W = 32
 #: survivor-list capacity (SMEM); overflowing tiles fall back to streaming
-#: every cluster (correct, slow) — see `sovf`
-MAXS = 2048
+#: every cluster (correct, slow) — see `sovf`.  4096 retires the fallback
+#: for config 5's 8k clusters (35 of 2040 tiles overflowed at 2048, each
+#: degrading to a full 8194-cluster stream)
+MAXS = 4096
 #: front-to-back entry-distance buckets for the closest pass: survivors are
 #: emitted bucket-major (nearest first) and a whole bucket is skipped once
 #: every live ray's best hit is nearer than the bucket's entry threshold
@@ -422,12 +424,17 @@ def _trav_kernel(
         s_ovf[0, tile_id] = s_ovf[0, tile_id] + sovf[0]
 
     # ---- primitive-block math (same forms as megakernel.py) ---------------
-    def tri_math(wblk, X, t_hi):
+    def tri_math(wblk, X, t_hi, nsub=LANES):
+        """Triangle forms (8, 6·nsub) × ray form X (8, chunk) → candidate
+        t/u/v, each (nsub, chunk).  nsub > LANES batches several clusters'
+        128-lane blocks into ONE matmul (the occlusion pass streams NBO
+        clusters per dot — K=8 leaves the MXU mostly idle, so per-matmul
+        overhead, not MACs, is the per-cluster cost)."""
         out = lax.dot_general(
             wblk, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
             precision=lax.Precision.HIGHEST,
-        ).reshape(6, LANES, X.shape[1])
+        ).reshape(6, nsub, X.shape[1])
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
         safe_nd = jnp.where(good, ndd, 1.0)
@@ -437,6 +444,23 @@ def _trav_kernel(
         hit = good & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
         hit = hit & (t > C.T_MIN) & (t < t_hi)
         return jnp.where(hit, t, C.T_NONE), u, v
+
+    def tri_hit(wblk, X, t_hi, nsub):
+        """Lean any-hit variant: → hit (nsub, chunk) bool.  Skips the
+        where(hit, t, T_NONE) select and the second t-vs-tmax compare the
+        fold path pays (t_hi here IS the occlusion band end)."""
+        out = lax.dot_general(
+            wblk, X, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=lax.Precision.HIGHEST,
+        ).reshape(6, nsub, X.shape[1])
+        no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
+        good = jnp.abs(ndd) >= C.MT_DET_EPS
+        t = -no_ / jnp.where(good, ndd, 1.0)
+        u = uo + t * ud
+        v = vo + t * vd
+        hit = good & (u >= 0.0) & (v >= 0.0) & (u + v <= 1.0)
+        return hit & (t > C.T_MIN) & (t < t_hi)
 
     def sph_math(b, X, oo, od, t_hi):
         wb = wsph_ref[:, b * 2 * LANES : (b + 1) * 2 * LANES]
@@ -547,7 +571,10 @@ def _trav_kernel(
                     @pl.when(bit != 0)
                     def _(ch=ch):
                         sl = slice(ch * RCH, (ch + 1) * RCH)
-                        tm, u, v = tri_math(wscr[slot], X[:, sl], C.T_MAX)
+                        tm, u, v = tri_math(
+                            wscr[slot].reshape(8, 6 * LANES), X[:, sl],
+                            C.T_MAX,
+                        )
                         fold(tm, u, v, ascr[slot], sl, iota_ch)
                 return 0
 
@@ -648,11 +675,6 @@ def _trav_kernel(
         ok, entry = _interval_ok(o_c, d_c, alive_t, tmax=tmax_c)
         cull_to_smem(ok[0:1, :], entry[0:1, :], [ok[1:, :]])
 
-        def upd(tm, sl=slice(None)):
-            occb[:, sl] = occb[:, sl] | jnp.any(
-                tm < tmax[:, sl], axis=0, keepdims=True
-            ).astype(jnp.int32)
-
         # resident spheres first: saturation may exit before any DMA
         oo = _dot3(o3, o3)
         od = _dot3(o3, d3)
@@ -664,14 +686,15 @@ def _trav_kernel(
 
         n, sid = survivors()
 
-        # Stream in self-contained blocks of NBLK clusters: within a block
-        # the DMA pipeline runs DEPTH-deep with no data-dependent control
-        # (like cluster_range), and the saturation check — a vector→scalar
-        # reduce that serializes against the VPU — happens ONCE per block.
-        # The old per-cluster check paid an exposed DMA latency plus a
-        # reduce on every cluster (~2-3 µs each); blocked, both amortize
-        # 8×, at the cost of at most NBLK-1 extra clusters after
-        # saturation.
+        # Stream per cluster in blocks of NBLK: within a block the DMA
+        # pipeline runs DEPTH-deep with no data-dependent control (like
+        # cluster_range), and the saturation check — a vector→scalar reduce
+        # that serializes against the VPU — happens ONCE per block.
+        # Batching NBO clusters into one matmul was tried and reverted:
+        # the per-survivor cost is ~60% VPU epilogue, and gating chunks by
+        # the UNION of the block's cull bits added more epilogue work than
+        # the amortized matmul dispatch saved (config4 26.9 → 23.8, config5
+        # flat).  Per-cluster chunk bits keep the epilogue minimal.
         NBLK = 8
         DEPTH = 4
 
@@ -714,10 +737,13 @@ def _trav_kernel(
                         @pl.when(bit != 0)
                         def _(ch=ch):
                             sl = slice(ch * RCH, (ch + 1) * RCH)
-                            tm, _, _ = tri_math(
-                                wscr[slot], X[:, sl], tmax[:, sl]
+                            hit = tri_hit(
+                                wscr[slot].reshape(8, 6 * LANES),
+                                X[:, sl], tmax[:, sl], LANES,
                             )
-                            upd(tm, sl)
+                            occb[:, sl] = occb[:, sl] | jnp.any(
+                                hit, axis=0, keepdims=True
+                            ).astype(jnp.int32)
                     return 0
 
                 lax.fori_loop(0, seg, inner, 0, unroll=False)
@@ -832,7 +858,7 @@ def _scratch_shapes(C_pad):
         pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
         pltpu.SMEM((1,), jnp.int32),              # scnt
         pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
-        pltpu.VMEM((4, 8, 6 * LANES), jnp.float32),   # wscr
+        pltpu.VMEM((4, 8, 6, LANES), jnp.float32),    # wscr
         pltpu.VMEM((4, TROWS, LANES), jnp.float32),   # ascr
         pltpu.VMEM((1, RAYS), jnp.float32),       # tb
         pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
