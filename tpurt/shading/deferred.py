@@ -86,7 +86,48 @@ def records_oracle(scene, o, d, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True):
     )
 
 
-def _recompute_tuv(scene, o, d, prim, is_tri):
+def _build_shadepack(scene):
+    """Per-TRIANGLE gather tables, O(T): [v0|e1|e2] (T, 9), corner normals
+    (T, 9) and corner uvs (T, 6).  Shading then does ONE wide row gather
+    per pixel instead of a triangle-index gather CHAINED into 3 dependent
+    vertex/normal/uv gathers — measured 2× on the gather-bound deferred
+    pass at 2M pixels (BASELINE.md shading sub-split).  e1/e2 are computed
+    with the same subtraction as the inline path, so values (and gradients
+    to vertices) are bit-identical."""
+    tri = scene.triangles
+    v0 = scene.vertices[tri[:, 0]]
+    e1 = scene.vertices[tri[:, 1]] - v0
+    e2 = scene.vertices[tri[:, 2]] - v0
+    tri9 = jnp.concatenate([v0, e1, e2], axis=-1)
+    nrm9 = None
+    if scene.smooth:
+        nrm9 = jnp.concatenate(
+            [scene.vnormals[tri[:, 0]], scene.vnormals[tri[:, 1]],
+             scene.vnormals[tri[:, 2]]], axis=-1)
+    uv6 = None
+    if scene.textured:
+        uv6 = jnp.concatenate(
+            [scene.uvs[tri[:, 0]], scene.uvs[tri[:, 1]],
+             scene.uvs[tri[:, 2]]], axis=-1)
+    return tri9, nrm9, uv6
+
+
+def _tri_rows(scene, pid, pack):
+    """v0/e1/e2 rows at pid — from the pack's single wide gather when
+    available, else the chained per-pixel gathers (used by callers that
+    touch few rays, e.g. the wavefront reflection continuation, where
+    building O(T) tables would cost more than they save)."""
+    if pack is not None:
+        g = pack[0][pid]
+        return g[..., 0:3], g[..., 3:6], g[..., 6:9]
+    tri = scene.triangles[pid]
+    v0 = scene.vertices[tri[..., 0]]
+    e1 = scene.vertices[tri[..., 1]] - v0
+    e2 = scene.vertices[tri[..., 2]] - v0
+    return v0, e1, e2
+
+
+def _recompute_tuv(scene, o, d, prim, is_tri, pack=None):
     """Differentiable (t, u, v) at fixed topology.
 
     Triangles: Möller–Trumbore against the single gathered triangle
@@ -94,10 +135,7 @@ def _recompute_tuv(scene, o, d, prim, is_tri):
     nearest-root-in-range quadratic.  Miss lanes get t = T_NONE.
     """
     pid = jnp.maximum(prim, 0)
-    tri = scene.triangles[pid]
-    v0 = scene.vertices[tri[..., 0]]
-    e1 = scene.vertices[tri[..., 1]] - v0
-    e2 = scene.vertices[tri[..., 2]] - v0
+    v0, e1, e2 = _tri_rows(scene, pid, pack)
     pvec = vec.cross(d, e2)
     det = vec.dot(e1, pvec)
     inv_det = 1.0 / jnp.where(jnp.abs(det) < C.MT_DET_EPS, 1.0, det)
@@ -129,21 +167,23 @@ def _recompute_tuv(scene, o, d, prim, is_tri):
     return t, u, v
 
 
-def _hit_geometry(scene, o, d, t, prim, is_tri, u, v):
+def _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack=None):
     """Position, shading normal, material id (mirrors ref/oracle.py)."""
     pid = jnp.maximum(prim, 0)
     p = o + t[..., None] * d
-    tri = scene.triangles[pid]
     if scene.smooth:
-        n0 = scene.vnormals[tri[..., 0]]
-        n1 = scene.vnormals[tri[..., 1]]
-        n2 = scene.vnormals[tri[..., 2]]
+        if pack is not None:
+            gn = pack[1][pid]
+            n0, n1, n2 = gn[..., 0:3], gn[..., 3:6], gn[..., 6:9]
+        else:
+            tri = scene.triangles[pid]
+            n0 = scene.vnormals[tri[..., 0]]
+            n1 = scene.vnormals[tri[..., 1]]
+            n2 = scene.vnormals[tri[..., 2]]
         w = (1.0 - u - v)[..., None]
         n_tri = vec.normalize(w * n0 + u[..., None] * n1 + v[..., None] * n2)
     else:
-        v0 = scene.vertices[tri[..., 0]]
-        e1 = scene.vertices[tri[..., 1]] - v0
-        e2 = scene.vertices[tri[..., 2]] - v0
+        _, e1, e2 = _tri_rows(scene, pid, pack)
         n_tri = vec.normalize(vec.cross(e1, e2))
     n_tri = jnp.where(vec.dot(n_tri, d)[..., None] > 0.0, -n_tri, n_tri)
     if scene.n_real_spheres == 0:
@@ -154,14 +194,61 @@ def _hit_geometry(scene, o, d, t, prim, is_tri, u, v):
     return p, n, mat
 
 
+def _hit_uv_pack(pid, u, v, is_tri, pack):
+    """Interpolated texture coordinates from the uv6 table — same math as
+    ref/oracle.py:_hit_uv, one (N, 6) gather instead of tri + 3×(N, 2)."""
+    guv = pack[2][pid]
+    uv0, uv1, uv2 = guv[..., 0:2], guv[..., 2:4], guv[..., 4:6]
+    w = (1.0 - u - v)[..., None]
+    uv = w * uv0 + u[..., None] * uv1 + v[..., None] * uv2
+    return jnp.where(is_tri[..., None], uv, 0.0)
+
+
+def _sample_texture_flat(scene, mat, uv):
+    """Bilinear texture lookup, element-for-element identical to
+    ref/oracle.py:_sample_texture, but each texel comes from ONE
+    flat-index row gather of textures.reshape(-1, 3) instead of a 3-index
+    gather — the multi-dim gather dominated the deferred pass at 2M pixels
+    (196 of 282 ms, BASELINE.md)."""
+    tex_id = scene.materials.texture_id[mat]
+    tid = jnp.maximum(tex_id, 0)
+    nt, th, tw, _ = scene.textures.shape
+    u = uv[..., 0] - jnp.floor(uv[..., 0])
+    v = uv[..., 1] - jnp.floor(uv[..., 1])
+    x = u * tw - 0.5
+    y = v * th - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = (x - x0)[..., None]
+    fy = (y - y0)[..., None]
+    flat = scene.textures.reshape(nt * th * tw, 3)
+    base = tid * (th * tw)
+
+    def texel(xi, yi):
+        xi = jnp.mod(xi.astype(jnp.int32), tw)
+        yi = jnp.mod(yi.astype(jnp.int32), th)
+        return flat[base + yi * tw + xi]
+
+    c00 = texel(x0, y0)
+    c10 = texel(x0 + 1, y0)
+    c01 = texel(x0, y0 + 1)
+    c11 = texel(x0 + 1, y0 + 1)
+    col = (
+        c00 * (1 - fx) * (1 - fy)
+        + c10 * fx * (1 - fy)
+        + c01 * (1 - fx) * fy
+        + c11 * fx * fy
+    )
+    return jnp.where(tex_id[..., None] < 0, 1.0, col)
+
+
 def shade_from_records(
     scene, o, d, recs: HitRecords, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True
 ):
     """Whitted shading replay from records → colors (N, 3), differentiable
     w.r.t. every float scene leaf.  Conventions identical to ref/oracle.py
     (tested: oracle records ⇒ bit-identical structure, allclose values)."""
-    from tpurt.ref.oracle import _sample_texture, _hit_uv
-
+    pack = _build_shadepack(scene)
     accum = jnp.zeros_like(o)
     thr = jnp.ones((*o.shape[:-1], 1), C.DTYPE)
     alive = jnp.ones(o.shape[:-1], bool)
@@ -171,14 +258,15 @@ def shade_from_records(
         is_tri = recs.is_tri[depth]
         occ = recs.occ[depth]
         hit = prim >= 0
-        t, u, v = _recompute_tuv(scene, o, d, prim, is_tri)
-        p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v)
+        t, u, v = _recompute_tuv(scene, o, d, prim, is_tri, pack)
+        p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack)
 
         m = scene.materials
         if scene.textured:
-            rec_dict = {"prim": jnp.maximum(prim, 0), "u": u, "v": v,
-                        "is_tri": is_tri}
-            tex = _sample_texture(scene, mat, _hit_uv(scene, rec_dict))
+            tex = _sample_texture_flat(
+                scene, mat,
+                _hit_uv_pack(jnp.maximum(prim, 0), u, v, is_tri, pack),
+            )
         else:
             tex = 1.0  # static: skip 12 texel gathers/pixel/bounce
         ka = m.ka[mat]
