@@ -53,6 +53,24 @@ def test_clustered_textured_config5():
     np.testing.assert_allclose(img, ref, atol=2e-4)
 
 
+def test_shadow_rebin_matches_in_kernel_shadows(monkeypatch):
+    """The Morton-re-binned shadow pass (shadow_rebin=True, gated to large
+    cluster counts) produces bit-identical occlusion to in-kernel shadows
+    over pixel tiles — same ray construction and (T_MIN, dist − eps) band,
+    different tiling.  Covers the textured mesh+sphere scene (two lights);
+    the size gate is lowered so the test scene takes the re-binned path."""
+    monkeypatch.setattr(TV, "SHADOW_REBIN_MIN_CLUSTERS", 0)
+    scene, cfg = configs.config5_multimesh(24, 32, n_blobs=2, subdiv=2)
+    tri_ids = _plan_for(scene)
+    img_rb = np.asarray(TV.render_rows_clustered(scene, cfg, tri_ids, 0, 24))
+    img_nk = np.asarray(
+        TV.render_rows_clustered(
+            scene, cfg.replace(shadow_rebin=False), tri_ids, 0, 24
+        )
+    )
+    np.testing.assert_array_equal(img_rb, img_nk)
+
+
 def test_clustered_gradients_match_oracle():
     scene, cfg = configs.config4_bunny(16, 16, subdiv=1)
     tri_ids = _plan_for(scene)

@@ -56,6 +56,11 @@ class RenderConfig:
     accel: str = "auto"       # "none" | "bvh" | "grid" | "auto"
     wavefront: bool = True    # re-bin live rays between bounces (clustered
     #                           path; False = trace all bounces in one kernel)
+    shadow_rebin: bool = True  # wavefront path: trace shadows in a separate
+    #                            pass over hit points re-binned by Morton
+    #                            code — compact 3D cells give thin light-
+    #                            origin cull cones (False = in-kernel
+    #                            shadows over the pixel/bounce tiling)
     backend: str = "auto"     # "oracle" | "pallas" | "auto"
 
     def replace(self, **kw) -> "RenderConfig":

@@ -52,8 +52,18 @@ from tpurt.kernels.packc import LANES, TROWS, PackedClusters
 
 RAYS = 1024
 #: rays per compute sub-chunk: surviving clusters are intersected per chunk,
-#: gated by the chunk's own cull bit — quarter-tile culling w/o extra DMA
+#: gated by the chunk's own cull bit — quarter-tile culling w/o extra DMA.
+#: NCH=8 (128-ray chunks) measured SLOWER for pixel/bounce tiles
+#: (cfg4 26.9→23.1, cfg5 6.9→6.8): sub-cones of a coherent tile still cull
+#: the same clusters, so finer bits only add mask rows + scalar reads —
+#: see docs/design.md.  The SHADOW kernel (mode 2) uses NCH_SHADOW=8:
+#: its chunks are disjoint Morton sub-cells, whose light cones genuinely
+#: differ, so finer bits thin the streamed compute
 NCH = 4
+NCH_SHADOW = 8
+#: cluster count above which the wavefront path traces shadows in the
+#: re-binned shadow kernel (measured crossover — see _wavefront_records)
+SHADOW_REBIN_MIN_CLUSTERS = 2048
 #: square pixel-tile geometry: RAYS = TILE_H × TILE_W.  Square tiles keep
 #: each tile's ray bundle a narrow frustum, which is what makes the
 #: conservative interval cull selective — a full-image-width row of rays
@@ -70,9 +80,6 @@ MAXS = 4096
 #: emitted bucket-major (nearest first) and a whole bucket is skipped once
 #: every live ray's best hit is nearer than the bucket's entry threshold
 KB = 4
-#: mask-scratch row of the first meta row (rows: KB buckets, NCH chunk
-#: bits, KB per-bucket meta words — see pack_words/cull_to_smem)
-MROW = KB + NCH
 _BIG = 3.0e37
 
 
@@ -90,13 +97,24 @@ def _trav_kernel(
     # per-tile stats (SMEM rows, one lane per tile): survivors summed over
     # passes / number of passes / overflow events — traversal observability
     # (SURVEY.md §5 metrics), surfaced by traversal_stats()
+    # mode: 0 = in-kernel ray-gen over pixel tiles, 1 = explicit (binned)
+    # ray set per bounce, 2 = shadow-only over binned hit points
     (H, W, max_depth, shadows, Ccount, nb_s, n_lights, T_total, R, ntx,
-     rays_in) = statics
-    if rays_in:
+     mode) = statics
+    if mode == 1:
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, al_ref,
          wtri_hbm, attr_hbm,
          id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf, s_strm,
+         maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
+         sems, ssem, bstart, keyv, keys_s, ksem) = refs
+    elif mode == 2:
+        # shadow mode: px.. = hit points p (the oracle measures the light
+        # distance from p), qx.. = offset origins p_off = p + eps·n
+        (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref,
+         px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref, al_ref,
+         wtri_hbm, attr_hbm,
+         occ_ref, s_surv, s_pass, s_ovf, s_strm,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
          sems, ssem, bstart, keyv, keys_s, ksem) = refs
     else:
@@ -111,7 +129,10 @@ def _trav_kernel(
     s_strm[0, tile_id] = 0
     f32 = jnp.float32
     C_pad = aabb_ref.shape[1]
-    RCH = R // NCH
+    # chunk granularity + mask-row layout are mode-dependent (NCH_SHADOW)
+    nch = NCH_SHADOW if mode == 2 else NCH
+    RCH = R // nch
+    mrow = KB + nch  # first meta row (rows: KB buckets, nch chunk bits)
 
     glob = glob_ref[...]
     aabb = aabb_ref[...]
@@ -155,12 +176,15 @@ def _trav_kernel(
     def g3(k):
         return (g(k), g(k + 1), g(k + 2))
 
-    if rays_in:
+    if mode == 1:
         # wavefront bounce: rays arrive binned (Morton-of-hit-point order,
         # see render_rows_clustered) — each tile is a coherent bundle, which
         # is what keeps the interval cull selective for secondary rays
         o = (ox_ref[...], oy_ref[...], oz_ref[...])
         d = (dx_ref[...], dy_ref[...], dz_ref[...])
+        alive0 = al_ref[...] != 0
+    elif mode == 2:
+        o = d = None  # shadow rays are built per light below
         alive0 = al_ref[...] != 0
     else:
         # ---- ray-gen over a TILE_H × TILE_W pixel block -------------------
@@ -225,10 +249,10 @@ def _trav_kernel(
 
     # ---- conservative interval cull (clusters in lanes) -------------------
     # Row 0 tests the whole tile's ray bundle (→ the DMA survivor list);
-    # rows 1..NCH test RCH-ray sub-chunks (→ per-chunk compute-skip bits in
+    # rows 1..nch test RCH-ray sub-chunks (→ per-chunk compute-skip bits in
     # the streaming loop).  All rows ride in sublanes, so the sub-chunk
     # tests are nearly free on the VPU.
-    GRPS = 1 + NCH
+    GRPS = 1 + nch
 
     grow = lax.broadcasted_iota(jnp.int32, (GRPS, 1), 0)
 
@@ -311,7 +335,7 @@ def _trav_kernel(
         `ok0` (1, C_pad) front-to-back by conservative entry `entry0`
         (1, C_pad), pack bucket + per-chunk mask rows into 16-bit words,
         DMA to SMEM, and compact a bucket-major survivor index list.
-        `chunk_rows`: list of (NCH, C_pad) bool rows (one set per shadow
+        `chunk_rows`: list of (nch, C_pad) bool rows (one set per shadow
         light, or the single closest-pass set) packed after the KB bucket
         rows — the streaming loop's per-chunk compute-skip bits."""
 
@@ -358,7 +382,7 @@ def _trav_kernel(
         bwords = pack_words(okb.astype(f32))
         maskv[0:KB, :] = bwords
         for i, rows in enumerate(chunk_rows):
-            maskv[KB + i * NCH : KB + (i + 1) * NCH, :] = pack_words(
+            maskv[KB + i * nch : KB + (i + 1) * nch, :] = pack_words(
                 rows.astype(f32))
         # per-bucket meta words: bit g of meta[kb, mw] = "bucket kb has a
         # survivor among clusters [(mw*16+g)*16, +16)"
@@ -371,7 +395,7 @@ def _trav_kernel(
             )
         ).astype(jnp.int32)                            # (KB, NW2)
         lanes_m = lax.broadcasted_iota(jnp.int32, (KB, NW), 1)
-        maskv[MROW : MROW + KB, :] = jnp.where(
+        maskv[mrow : mrow + KB, :] = jnp.where(
             lanes_m < NW2, jnp.pad(meta, ((0, 0), (0, NW - NW2))), 0
         )
         cp = pltpu.make_async_copy(maskv, masks, ssem)
@@ -385,7 +409,7 @@ def _trav_kernel(
 
         for kb in range(KB):
             def outer(mw, _, kb=kb):
-                m = masks[MROW + kb, mw]
+                m = masks[mrow + kb, mw]
 
                 @pl.when(m != 0)
                 def _():
@@ -480,7 +504,7 @@ def _trav_kernel(
         t1_ok = has & (t1 > C.T_MIN) & (t1 < t_hi)
         return jnp.where(t0_ok, t0, jnp.where(t1_ok, t1, C.T_NONE))
 
-    iota_ch = lax.broadcasted_iota(jnp.int32, (LANES, RAYS // NCH), 0)
+    iota_ch = lax.broadcasted_iota(jnp.int32, (LANES, RCH), 0)
 
     def fold(tm, u, v, attr_blk, sl=slice(None), iota=None):
         """Fold (128, chunk) candidates into the chunk slice of the bests.
@@ -565,7 +589,7 @@ def _trav_kernel(
                     op.wait()
                 cw = c // 16
                 cb = c % 16
-                for ch in range(NCH):
+                for ch in range(nch):
                     bit = (masks[KB + ch, cw] >> cb) & 1
 
                     @pl.when(bit != 0)
@@ -731,7 +755,7 @@ def _trav_kernel(
                         op.wait()
                     cw = c // 16
                     cb = c % 16
-                    for ch in range(NCH):
+                    for ch in range(nch):
                         bit = (masks[KB + ch, cw] >> cb) & 1
 
                         @pl.when(bit != 0)
@@ -832,7 +856,7 @@ def _trav_kernel(
         # materials this makes every bounce > 0 near-free.
         alive = hit & (a1(PC.R_REFL) > 0.0)
 
-    if rays_in:
+    if mode == 1:
         # wavefront mode: tiles past the live-ray count are skipped whole —
         # off_ref carries n_live_tiles; their outputs stay at the defaults
         D = max_depth + 1
@@ -843,6 +867,33 @@ def _trav_kernel(
         @pl.when(tile_id < off_ref[0, 0])
         def _():
             whitted_loop(alive0, o, d)
+    elif mode == 2:
+        # shadow-only mode over re-binned hit points: each tile is a
+        # compact 3D cell of surface points (Morton order), so the
+        # reversed light→cell cull cone is as thin as the geometry allows
+        # — unlike pixel tiles, where one silhouette straddling the tile
+        # fans the cone across the whole depth range.  Ray construction
+        # and the occlusion band are EXACTLY whitted_loop's (origin p_off,
+        # direction toward the light normalized from p, band
+        # (T_MIN, dist − eps) with dist measured from p).
+        occ_ref[...] = jnp.zeros((1, R), jnp.int32)
+        p3 = (px_ref[...], py_ref[...], pz_ref[...])
+        q3 = (qx_ref[...], qy_ref[...], qz_ref[...])
+
+        @pl.when(tile_id < off_ref[0, 0])
+        def _():
+            bits = jnp.zeros((1, R), jnp.int32)
+            for li in range(n_lights):
+                lpos = g3(PK.NGLOB_BASE + 3 * li)
+                to_l = _sub3(lpos, p3)
+                dist = jnp.sqrt(_dot3(to_l, to_l))
+                ldir = _scale3(to_l, 1.0 / jnp.maximum(dist, 1e-20))
+                o_l = tuple(jnp.broadcast_to(c, (1, R)) for c in lpos)
+                occ = occluded(
+                    q3, ldir, dist - C.RAY_OFFSET_EPS, alive0,
+                    cull_ray=(o_l, _neg3(ldir), dist))
+                bits = bits | jnp.where(occ & alive0, 1 << li, 0)
+            occ_ref[...] = bits
     else:
         whitted_loop(alive0, o, d)
 
@@ -850,8 +901,8 @@ def _trav_kernel(
 # ---------------------------------------------------------------------------
 # pallas_call wrapper + public clustered render path
 # ---------------------------------------------------------------------------
-def _scratch_shapes(C_pad):
-    mrows = MROW + KB
+def _scratch_shapes(C_pad, nch=NCH):
+    mrows = KB + nch + KB
     return [
         pltpu.VMEM((mrows, C_pad // 16), jnp.int32),  # maskv (packed+meta)
         pltpu.SMEM((mrows, C_pad // 16), jnp.int32),  # masks (packed+meta)
@@ -881,7 +932,8 @@ def _glob_pad(packed):
 
 
 def trace_records(packed: PackedClusters, config, row0, nrows: int,
-                  max_depth: int | None = None):
+                  max_depth: int | None = None,
+                  shadows: bool | None = None):
     """Run the traversal kernel → (ids, occ) each (D, ntiles·RAYS) int32,
     tile-major (reassembled into image order by render_rows_clustered).
 
@@ -892,6 +944,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
     and later bounces via trace_bounce)."""
     packed = jax.lax.stop_gradient(packed)
     md = config.max_depth if max_depth is None else max_depth
+    sh = config.shadows if shadows is None else shadows
     D = md + 1
     W = config.width
     nty = -(-nrows // TILE_H)
@@ -900,9 +953,9 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
     C_pad = packed.aabb.shape[1]
     glob = _glob_pad(packed)
     statics = (
-        config.height, config.width, md, config.shadows,
+        config.height, config.width, md, sh,
         packed.n_clusters, packed.n_sph_blocks, packed.n_lights,
-        packed.n_tris, RAYS, ntx, False,
+        packed.n_tris, RAYS, ntx, 0,
     )
     off = jnp.asarray(row0, jnp.int32).reshape(1, 1)
     ids, occ, tbest, s_surv, s_pass, s_ovf, s_strm = pl.pallas_call(
@@ -943,7 +996,8 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
             jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
 
 
-def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
+def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live,
+                 shadows: bool | None = None):
     """One wavefront bounce over an explicit (binned) ray set.
 
     o, d: (N, 3) f32 unit rays, N a multiple of RAYS; alive (N,) bool;
@@ -960,9 +1014,10 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
     C_pad = packed.aabb.shape[1]
     glob = _glob_pad(packed)
     statics = (
-        config.height, config.width, 0, config.shadows,
+        config.height, config.width, 0,
+        config.shadows if shadows is None else shadows,
         packed.n_clusters, packed.n_sph_blocks, packed.n_lights,
-        packed.n_tris, RAYS, 1, True,
+        packed.n_tris, RAYS, 1, 1,
     )
     nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
     row = lambda x: x.reshape(1, N)                          # noqa: E731
@@ -1010,6 +1065,71 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live):
             jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
 
 
+def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
+    """Occlusion bits for ALL lights over an explicit (binned) set of hit
+    points — the shadow-wavefront pass (SURVEY.md §7 step 5 applied to
+    shadow rays).
+
+    p, p_off: (N, 3) f32 hit points / eps-offset origins, N a multiple of
+    RAYS, live points sorted to the front (Morton order of p); alive (N,)
+    bool; n_live traced int32.  Returns occ (N,) int32 (bit l ⇔ light l
+    occluded), same order.  Ray construction and bands match whitted_loop's
+    in-kernel shadows exactly (dist measured from p, origin p_off)."""
+    packed = jax.lax.stop_gradient(packed)
+    sg = jax.lax.stop_gradient
+    p, p_off = sg(p), sg(p_off)
+    N = p.shape[0]
+    assert N % RAYS == 0, N
+    ntiles = N // RAYS
+    C_pad = packed.aabb.shape[1]
+    glob = _glob_pad(packed)
+    statics = (
+        config.height, config.width, 0, True,
+        packed.n_clusters, packed.n_sph_blocks, packed.n_lights,
+        packed.n_tris, RAYS, 1, 2,
+    )
+    nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
+    row = lambda x: x.reshape(1, N)                          # noqa: E731
+    ray_spec = pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM)
+    occ, s_surv, s_pass, s_ovf, s_strm = pl.pallas_call(
+        functools.partial(_trav_kernel, statics=statics),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            ray_spec, ray_spec, ray_spec, ray_spec, ray_spec, ray_spec,
+            ray_spec,
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
+        ],
+        scratch_shapes=_scratch_shapes(C_pad, NCH_SHADOW),
+        interpret=_interpret(),
+    )(nlive_tiles, glob, packed.wsph, packed.sattr, packed.aabb,
+      row(p[:, 0]), row(p[:, 1]), row(p[:, 2]),
+      row(p_off[:, 0]), row(p_off[:, 1]), row(p_off[:, 2]),
+      row(alive.astype(jnp.int32)),
+      packed.wtri_c, packed.attr_c)
+    return (occ[0],
+            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
+
+
 def _untile(x, nrows, W):
     """(D, ntiles·RAYS) tile-major → (D, nrows·W) image-major."""
     D = x.shape[0]
@@ -1028,6 +1148,22 @@ def _part1by2(x):
     x = (x | (x << 4)) & 0x030C30C3
     x = (x | (x << 2)) & 0x09249249
     return x
+
+
+def _bin_key_pts(p, lo, hi, alive):
+    """Morton key of a 3D point (no direction bits): the shadow-wavefront
+    pass bins HIT POINTS into compact cells, so each kernel tile's
+    light-origin cull cone is as thin as the geometry allows.  Dead lanes
+    sort to the end."""
+    ext = jnp.maximum(hi - lo, 1e-12)
+    q = jnp.clip((p - lo) / ext, 0.0, 1.0)
+    cell = (q * 1023.0).astype(jnp.int32)
+    m = (
+        _part1by2(cell[:, 0])
+        | (_part1by2(cell[:, 1]) << 1)
+        | (_part1by2(cell[:, 2]) << 2)
+    )
+    return jnp.where(alive, m, jnp.int32(2**30))
 
 
 def _bin_key(p, d, lo, hi, alive):
@@ -1085,12 +1221,23 @@ def _wavefront_records(scene, config, packed, row0, nrows):
     n_pix = nrows * W
     T = scene.n_tris
     scene_sg = sg(scene)
+    # shadow-wavefront: trace occlusion in a separate kernel pass over hit
+    # points re-binned by Morton code instead of inside the pixel-tiled
+    # closest pass.  Measured motivation (BASELINE.md): pixel tiles that
+    # straddle a silhouette fan the light-origin cull cone across the whole
+    # depth range, making shadow passes stream ~20× more clusters than the
+    # closest pass (212 vs 10 survivors/tile mean, config 5).  Only pays
+    # at scale: the re-bin overhead (hit-geometry recompute + argsort +
+    # scatter) beats the cull win above ~2k clusters (config 5 @8k:
+    # 8.4 → 10.5 Mrays/s; config 4 @1k: 26.9 → 23.3 — hence the gate).
+    rebin = (config.shadows and config.shadow_rebin
+             and packed.n_clusters > SHADOW_REBIN_MIN_CLUSTERS)
 
     with jax.named_scope("tpurt.traversal.b0"):
-        ids0, occ0, _, _ = trace_records(packed, config, row0, nrows,
-                                         max_depth=0)
+        ids0, occ0, _, _ = trace_records(
+            packed, config, row0, nrows, max_depth=0,
+            shadows=config.shadows and not rebin)
     ids_list = [_untile(ids0, nrows, W)[0]]
-    occ_list = [_untile(occ0, nrows, W)[0]]
 
     # scene bounds for Morton quantization (cluster AABBs; pads are empty
     # boxes at ±BIG and must be excluded)
@@ -1103,6 +1250,41 @@ def _wavefront_records(scene, config, packed, row0, nrows):
     d = sg(d.reshape(-1, 3))
 
     N_pad = -(-n_pix // RAYS) * RAYS
+
+    def shadow_occ(o_cur, d_cur, ids):
+        """Occlusion bits for one bounce's hits, via the re-binned shadow
+        pass.  Hit geometry is recomputed on stop_gradient values with the
+        same formulas as the shading replay (XLA CSEs the forward ops);
+        ray construction matches whitted_loop's in-kernel shadows."""
+        from tpurt.shading.deferred import (_build_shadepack, _hit_geometry,
+                                            _recompute_tuv)
+
+        # same gather tables (and hence the same HLO) as the shading
+        # replay's forward ops — XLA CSEs the two recomputes
+        pack = _build_shadepack(scene_sg)
+        miss = ids < 0
+        is_tri = (~miss) & (ids < T)
+        prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
+        t, u, v = _recompute_tuv(scene_sg, o_cur, d_cur, prim, is_tri, pack)
+        p, n, _ = _hit_geometry(scene_sg, o_cur, d_cur, t, prim, is_tri, u, v,
+                                pack)
+        p_off = p + n * C.RAY_OFFSET_EPS
+        alive = ~miss
+        key = _bin_key_pts(p, lo, hi, alive)
+        perm = jnp.argsort(key)
+        inv = jnp.argsort(perm)
+        pb = jnp.pad(p[perm], ((0, N_pad - n_pix), (0, 0)))
+        qb = jnp.pad(p_off[perm], ((0, N_pad - n_pix), (0, 0)))
+        ab = jnp.pad(alive[perm], (0, N_pad - n_pix))
+        n_live = jnp.sum(alive.astype(jnp.int32))
+        occ, _ = trace_shadows(packed, config, pb, qb, ab, n_live)
+        return jnp.where(alive, occ[:n_pix][inv], 0)
+
+    if rebin:
+        with jax.named_scope("tpurt.shadows.b0"):
+            occ_list = [shadow_occ(o, d, ids_list[0])]
+    else:
+        occ_list = [_untile(occ0, nrows, W)[0]]
 
     def alive_from_ids(ids):
         """Which lanes continue to the next bounce, from ids ALONE — two int
@@ -1124,8 +1306,14 @@ def _wavefront_records(scene, config, packed, row0, nrows):
         ob = jnp.pad(o[perm], ((0, N_pad - n_pix), (0, 0)))
         db = jnp.pad(d[perm], ((0, N_pad - n_pix), (0, 0)))
         ab = jnp.pad(alive[perm], (0, N_pad - n_pix))
-        idsb, occb, _, _ = trace_bounce(packed, config, ob, db, ab, n_live)
-        return idsb[:n_pix][inv], occb[:n_pix][inv], o, d
+        idsb, occb, _, _ = trace_bounce(
+            packed, config, ob, db, ab, n_live,
+            shadows=config.shadows and not rebin)
+        idsb = idsb[:n_pix][inv]
+        occb = occb[:n_pix][inv]
+        if rebin:
+            occb = shadow_occ(o, d, idsb)
+        return idsb, occb, o, d
 
     def bounce_empty(o, d, ids, alive, n_live):
         # kernel default records for dead lanes: id -1, occ 0.  o/d pass
