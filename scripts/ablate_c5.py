@@ -1,10 +1,10 @@
-"""Ablation timing for config 5 @1080p fwd: where does the frame go?
+"""Ablation timing for clustered configs: where does the frame go?
 
 Times, on the real chip with chained iterations (bench.py fetch convention):
-  A. pack_clusters alone (per-frame differentiable packing of 983k tris)
+  A. pack_clusters alone (per-frame differentiable packing)
   B. trace_records b0 alone, packing hoisted (the traversal kernel proper)
   C. full render_rows_clustered (pack + trace + deferred shading)
-Run: python scripts/ablate_c5.py [--shadows]
+Run: python scripts/ablate_c5.py [--config N] [--shadows]
 """
 import argparse
 import os
@@ -17,17 +17,21 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 import jax
 import jax.numpy as jnp
 
-from tpurt.scene.configs import config5_multimesh
+from tpurt.scene import configs
 from tpurt.render import prepare
 from tpurt.kernels.packc import pack_clusters
 from tpurt.kernels.traversal import trace_records, render_rows_clustered
 
 p = argparse.ArgumentParser()
+p.add_argument("--config", type=int, default=5)
 p.add_argument("--shadows", action="store_true")
 p.add_argument("--iters", type=int, default=3)
 args = p.parse_args()
 
-scene, cfg = config5_multimesh(height=1080, width=1920)
+if args.config == 5:
+    scene, cfg = configs.config5_multimesh(height=1080, width=1920)
+else:
+    scene, cfg = configs.ALL_CONFIGS[args.config](1024, 1024)
 if not args.shadows:
     cfg = cfg.replace(shadows=False)
 plan = prepare(scene, cfg)
