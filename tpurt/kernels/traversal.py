@@ -364,14 +364,21 @@ def _trav_kernel(
         # words with MXU matmuls and let the scalar loop skip zero words
         # (typical tiles survive a handful of clusters).
         def pack_words(okf):
+            # bf16 inputs, f32 accumulation: every product is 0 or 2^k,
+            # both exact in bf16, and the f32 accumulator sums ≤16 distinct
+            # powers of two < 2^16 exactly — so ONE native MXU pass gives
+            # the exact integers that f32 HIGHEST (6 emulation passes) gave,
+            # at ~6× less MXU time.  This matmul is ~1/3 of the fixed
+            # per-pass cost at 8k clusters.
             rows = okf.shape[0]
             words = jnp.zeros((rows, NW), jnp.int32)
             for ch in range(C_pad // PCHUNK):
                 wf = lax.dot_general(
-                    okf[:, ch * PCHUNK : (ch + 1) * PCHUNK], wpack,
+                    okf[:, ch * PCHUNK : (ch + 1) * PCHUNK].astype(
+                        jnp.bfloat16),
+                    wpack.astype(jnp.bfloat16),
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=f32,
-                    precision=lax.Precision.HIGHEST,
                 )                                      # (rows, NWC) exact ints
                 wi = jnp.round(wf).astype(jnp.int32)
                 in_ch = (lanes_nw >= ch * NWC) & (lanes_nw < (ch + 1) * NWC)
@@ -388,10 +395,10 @@ def _trav_kernel(
         # survivor among clusters [(mw*16+g)*16, +16)"
         meta = jnp.round(
             lax.dot_general(
-                (bwords != 0).astype(f32), wpack2,
+                (bwords != 0).astype(jnp.bfloat16),
+                wpack2.astype(jnp.bfloat16),
                 (((1,), (0,)), ((), ())),
                 preferred_element_type=f32,
-                precision=lax.Precision.HIGHEST,
             )
         ).astype(jnp.int32)                            # (KB, NW2)
         lanes_m = lax.broadcasted_iota(jnp.int32, (KB, NW), 1)
