@@ -16,14 +16,23 @@ import time
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpurt_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
+import argparse
+
 import jax
 import jax.numpy as jnp
 
-from tpurt.scene.configs import config5_multimesh
+from tpurt.scene import configs
 from tpurt.core import geom
 from tpurt.shading import deferred as D
 
-scene, cfg = config5_multimesh(height=1080, width=1920)
+ap = argparse.ArgumentParser()
+ap.add_argument("--config", type=int, default=5)
+args = ap.parse_args()
+
+if args.config == 5:
+    scene, cfg = configs.config5_multimesh(height=1080, width=1920)
+else:
+    scene, cfg = configs.ALL_CONFIGS[args.config](1024, 1024)
 H, W = cfg.height, cfg.width
 N = H * W
 T = scene.n_tris
@@ -77,6 +86,6 @@ full_j = jax.jit(
 
 a = bench("tuv (tri+vertex gathers)", tuv_j, scene)
 b = bench("geom (tri+vnormal gathers)", geom_j, scene)
-c = bench("tex (uv+texel gathers)", tex_j, scene)
+c = bench("tex (uv+texel gathers)", tex_j, scene) if scene.textured else 0.0
 f = bench("full shade_from_records", full_j, scene)
 print(f"phong+mats residual: {f - a - b - c:.1f} ms", file=sys.stderr)
