@@ -729,15 +729,39 @@ def _trav_kernel(
         NBLK = 8
         DEPTH = 4
 
+        # ---- per-chunk saturation bits -----------------------------------
+        # live_bits: bit ch set ⇔ chunk ch still has an alive, unoccluded
+        # lane.  Refreshed once per NBLK block (monotone: bits only clear),
+        # it (a) gates each survivor×chunk epilogue — a saturated chunk
+        # skips ALL remaining compute, not just the whole-tile exit — and
+        # (b) subsumes the tile-level early exit (live_bits == 0).  The
+        # per-chunk reduce rides the MXU: unocc (1, R) × chunk-selector
+        # (R, LANES) → per-chunk counts (exact small ints in bf16×bf16→f32),
+        # then ONE vector→scalar reduce (sum of distinct powers of two = OR)
+        # — the same serialization count as the old jnp.any check.
+        sel_rows = lax.broadcasted_iota(jnp.int32, (R, LANES), 0)
+        sel_cols = lax.broadcasted_iota(jnp.int32, (R, LANES), 1)
+        chunk_sel = ((sel_rows // RCH) == sel_cols).astype(jnp.bfloat16)
+        lane_128 = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+        pow2_lane = jnp.where(lane_128 < nch, jnp.left_shift(1, lane_128), 0)
+
+        def live_chunk_bits():
+            unocc = ((alive_i - occb[...]) > 0).astype(jnp.bfloat16)
+            counts = lax.dot_general(
+                unocc, chunk_sel, (((1,), (0,)), ((), ())),
+                preferred_element_type=f32,
+            )                                          # (1, LANES)
+            return jnp.sum(jnp.where(counts > 0.0, pow2_lane, 0))
+
         @pl.when(n > 0)
         def _():
             nb = (n + NBLK - 1) // NBLK
 
             def cond(carry):
-                return carry[1]
+                return carry[1] != 0
 
             def body(carry):
-                jb, _ = carry
+                jb, live_bits = carry
                 j0 = jb * NBLK
                 seg = jnp.minimum(j0 + NBLK, n) - j0
                 for ahead in range(DEPTH - 1):
@@ -765,7 +789,7 @@ def _trav_kernel(
                     for ch in range(nch):
                         bit = (masks[KB + ch, cw] >> cb) & 1
 
-                        @pl.when(bit != 0)
+                        @pl.when((bit & (live_bits >> ch)) != 0)
                         def _(ch=ch):
                             sl = slice(ch * RCH, (ch + 1) * RCH)
                             hit = tri_hit(
@@ -778,10 +802,10 @@ def _trav_kernel(
                     return 0
 
                 lax.fori_loop(0, seg, inner, 0, unroll=False)
-                unocc = jnp.any((alive_i - occb[...]) > 0)
-                return (jb + 1, (jb + 1 < nb) & unocc)
+                nxt = live_chunk_bits()
+                return (jb + 1, jnp.where(jb + 1 < nb, nxt, 0))
 
-            blocks, _ = lax.while_loop(cond, body, (0, n > 0))
+            blocks, _ = lax.while_loop(cond, body, (0, live_chunk_bits()))
             s_strm[0, tile_id] = s_strm[0, tile_id] + jnp.minimum(
                 blocks * NBLK, n
             )
@@ -1263,18 +1287,21 @@ def _wavefront_records(scene, config, packed, row0, nrows):
         pass.  Hit geometry is recomputed on stop_gradient values with the
         same formulas as the shading replay (XLA CSEs the forward ops);
         ray construction matches whitted_loop's in-kernel shadows."""
-        from tpurt.shading.deferred import (_build_shadepack, _hit_geometry,
-                                            _recompute_tuv)
+        from tpurt.shading.deferred import (_build_shadepack,
+                                            _gather_shaderows,
+                                            _hit_geometry, _recompute_tuv)
 
-        # same gather tables (and hence the same HLO) as the shading
+        # same gather table (and hence the same HLO) as the shading
         # replay's forward ops — XLA CSEs the two recomputes
         pack = _build_shadepack(scene_sg)
         miss = ids < 0
         is_tri = (~miss) & (ids < T)
         prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
-        t, u, v = _recompute_tuv(scene_sg, o_cur, d_cur, prim, is_tri, pack)
+        rows = _gather_shaderows(scene_sg, jnp.maximum(prim, 0), pack)
+        t, u, v = _recompute_tuv(scene_sg, o_cur, d_cur, prim, is_tri,
+                                 rows=rows)
         p, n, _ = _hit_geometry(scene_sg, o_cur, d_cur, t, prim, is_tri, u, v,
-                                pack)
+                                rows=rows)
         p_off = p + n * C.RAY_OFFSET_EPS
         alive = ~miss
         key = _bin_key_pts(p, lo, hi, alive)
