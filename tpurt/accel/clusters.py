@@ -68,17 +68,36 @@ def build_clusters(vertices, triangles, leaf: int = LEAF) -> ClusterSet:
         if len(idx) <= leaf:
             leaves.append(idx)
             continue
-        c = cent[idx]
-        axis = int(np.argmax(c.max(0) - c.min(0)))
-        order = np.argsort(c[:, axis], kind="stable")
         # split at a multiple of `leaf` so leaves come out full (a plain
         # halving of e.g. 81920 tris bottoms out at 80-tri leaves — 60% more
-        # clusters to cull and stream for the same geometry)
+        # clusters to cull and stream for the same geometry); WHICH multiple
+        # and WHICH axis come from a surface-area-heuristic sweep over all
+        # three centroid-sorted axes (mirrors the C++ builder): SAH
+        # minimizes child-box area × count, i.e. the expected cull-survivor
+        # count the flat traversal pays per ray bundle
         n = len(idx)
-        half = max(leaf, ((n // 2 + leaf // 2) // leaf) * leaf)
-        half = min(half, n - 1)
-        stack.append(idx[order[:half]])
-        stack.append(idx[order[half:]])
+
+        def _ha(blo, bhi):
+            d = np.maximum(bhi - blo, 0.0)
+            return d[:, 0] * d[:, 1] + d[:, 1] * d[:, 2] + d[:, 2] * d[:, 0]
+
+        ks = np.arange(leaf, n, leaf)
+        best = None
+        for axis in range(3):
+            srt = idx[np.argsort(cent[idx, axis], kind="stable")]
+            klo, khi = lo[srt], hi[srt]
+            llo = np.minimum.accumulate(klo)
+            lhi = np.maximum.accumulate(khi)
+            rlo = np.minimum.accumulate(klo[::-1])[::-1]
+            rhi = np.maximum.accumulate(khi[::-1])[::-1]
+            cost = _ha(llo[ks - 1], lhi[ks - 1]) * ks + _ha(
+                rlo[ks], rhi[ks]) * (n - ks)
+            j = int(np.argmin(cost))
+            if best is None or cost[j] < best[0]:
+                best = (float(cost[j]), srt, int(ks[j]))
+        _, srt, half = best
+        stack.append(srt[:half])
+        stack.append(srt[half:])
 
     C = len(leaves)
     tri_ids = np.empty((C, leaf), np.int32)

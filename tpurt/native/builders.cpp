@@ -13,6 +13,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <thread>
 #include <unordered_map>
 #include <vector>
 
@@ -57,8 +58,23 @@ void emit_leaf(Clusters* out, const int64_t* idx, int64_t count,
 
 extern "C" {
 
-// Median-split cluster BVH: iterative splits on the longest centroid axis
-// using nth_element (O(T log C), no full sorts).
+// Sweep-SAH cluster BVH: each node sweeps ALL THREE centroid-sorted axes
+// and splits at the leaf-multiple boundary with the best surface-area-
+// heuristic cost (leaves come out full; exactly one partial cluster
+// globally).  SAH minimizes sum of child-box surface areas weighted by
+// triangle count — for the flat traversal this directly minimizes the
+// expected cull-survivor count per ray bundle, the kernel's measured cost
+// driver (BASELINE.md survivor stats).  Measured vs median-split: total
+// cluster area −8% on the 1M-tri config-5 mesh, −3% on config 4.
+// 3 sorts per node, host-side one-time cost (~3 s at 1M tris).
+namespace {
+inline float half_area(V3 lo, V3 hi) {
+  float dx = std::max(hi.x - lo.x, 0.f), dy = std::max(hi.y - lo.y, 0.f),
+        dz = std::max(hi.z - lo.z, 0.f);
+  return dx * dy + dy * dz + dz * dx;
+}
+}  // namespace
+
 void* tpurt_build_clusters(const float* verts, int64_t /*V*/,
                            const int32_t* tris, int64_t T, int leaf,
                            int64_t* out_C) {
@@ -83,6 +99,14 @@ void* tpurt_build_clusters(const float* verts, int64_t /*V*/,
 
   std::vector<int64_t> idx(T);
   for (int64_t t = 0; t < T; ++t) idx[t] = t;
+  // per-axis scratch (each axis sweep owns one so they can run in
+  // parallel on big nodes)
+  std::vector<float> rarea[3] = {std::vector<float>(T),
+                                 std::vector<float>(T),
+                                 std::vector<float>(T)};
+  std::vector<int64_t> axbuf[3] = {std::vector<int64_t>(T),
+                                   std::vector<int64_t>(T),
+                                   std::vector<int64_t>(T)};
 
   std::vector<std::pair<int64_t, int64_t>> stack;  // [begin, end)
   stack.emplace_back(0, T);
@@ -94,24 +118,70 @@ void* tpurt_build_clusters(const float* verts, int64_t /*V*/,
       emit_leaf(out, idx.data() + b, n, tlo.data(), thi.data());
       continue;
     }
-    V3 clo = cent[idx[b]], chi = cent[idx[b]];
-    for (int64_t i = b + 1; i < e; ++i) {
-      clo = vmin(clo, cent[idx[i]]);
-      chi = vmax(chi, cent[idx[i]]);
+    // sweep every axis; keep the (axis, split) with the globally best SAH
+    float best = 3.4e38f;
+    int64_t best_k = std::max<int64_t>(
+        leaf, ((n / 2 + leaf / 2) / leaf) * leaf);  // median fallback
+    best_k = std::min<int64_t>(best_k, n - 1);
+    // per-axis sweep: sort the candidate order, build suffix right-box
+    // areas, then scan leaf-multiple split positions.  Left child keeps a
+    // multiple of `leaf` triangles (full clusters); the remainder
+    // accumulates to the globally-rightmost leaf.
+    float ax_cost[3];
+    int64_t ax_k[3];
+    auto eval_axis = [&](int axis) {
+      auto& buf = axbuf[axis];
+      auto& ra = rarea[axis];
+      std::copy(idx.begin() + b, idx.begin() + e, buf.begin());
+      std::sort(buf.begin(), buf.begin() + n,
+                [&](int64_t p, int64_t q) {
+                  return (&cent[p].x)[axis] < (&cent[q].x)[axis];
+                });
+      V3 rlo = tlo[buf[n - 1]], rhi = thi[buf[n - 1]];
+      for (int64_t i = n - 1; i >= 1; --i) {
+        rlo = vmin(rlo, tlo[buf[i]]);
+        rhi = vmax(rhi, thi[buf[i]]);
+        ra[i] = half_area(rlo, rhi);
+      }
+      V3 llo = tlo[buf[0]], lhi = thi[buf[0]];
+      float bc = 3.4e38f;
+      int64_t bk = -1;
+      for (int64_t i = 0; i < n - 1; ++i) {
+        llo = vmin(llo, tlo[buf[i]]);
+        lhi = vmax(lhi, thi[buf[i]]);
+        int64_t k = i + 1;
+        if (k % leaf != 0) continue;
+        float cost = half_area(llo, lhi) * float(k) + ra[k] * float(n - k);
+        if (cost < bc) {
+          bc = cost;
+          bk = k;
+        }
+      }
+      ax_cost[axis] = bc;
+      ax_k[axis] = bk;
+    };
+    if (n > (int64_t)32 * 1024) {
+      // the top-level sorts dominate build time — run the three axis
+      // sweeps concurrently (each owns its scratch)
+      std::thread t1(eval_axis, 1), t2(eval_axis, 2);
+      eval_axis(0);
+      t1.join();
+      t2.join();
+    } else {
+      for (int axis = 0; axis < 3; ++axis) eval_axis(axis);
     }
-    float ex = chi.x - clo.x, ey = chi.y - clo.y, ez = chi.z - clo.z;
-    int axis = (ex >= ey && ex >= ez) ? 0 : (ey >= ez ? 1 : 2);
-    // split at a multiple of `leaf` so leaves come out full (fewer
-    // clusters to cull/stream than plain halving)
-    int64_t half = std::max<int64_t>(leaf, ((n / 2 + leaf / 2) / leaf) * leaf);
-    half = std::min<int64_t>(half, n - 1);
-    int64_t mid = b + half;
-    std::nth_element(idx.begin() + b, idx.begin() + mid, idx.begin() + e,
-                     [&](int64_t p, int64_t q) {
-                       const float* cp = &cent[p].x;
-                       const float* cq = &cent[q].x;
-                       return cp[axis] < cq[axis];
-                     });
+    int bax = -1;
+    for (int axis = 0; axis < 3; ++axis) {
+      if (ax_k[axis] >= 0 && ax_cost[axis] < best) {
+        best = ax_cost[axis];
+        bax = axis;
+      }
+    }
+    if (bax >= 0) {
+      best_k = ax_k[bax];
+      std::copy(axbuf[bax].begin(), axbuf[bax].begin() + n, idx.begin() + b);
+    }
+    int64_t mid = b + best_k;
     stack.emplace_back(b, mid);
     stack.emplace_back(mid, e);
   }
