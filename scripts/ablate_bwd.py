@@ -1,0 +1,116 @@
+"""Backward-pass cost decomposition for the deferred-shading path.
+
+The fwd+bwd headline (BASELINE.json:2) runs the cluster traversal kernels
+(non-differentiable, stop_gradient'ed) once, plus the deferred shading
+replay fwd AND its vjp.  The bwd suspects are the gather transposes —
+scatter-adds at 2M pixels into (T, 9) shadepack tables, (V, 3) vertices,
+and the flat texel array:
+
+  shade_fwd    shade_from_records forward only
+  shade_bwd    full vjp to every float scene leaf
+  bwd_verts    vjp restricted to vertices/vnormals (zero tangents elsewhere)
+  bwd_tex      vjp restricted to textures
+  bwd_mats     vjp restricted to material tables + lights
+  pack_fwd     pack_clusters forward (runs under fwd+bwd too)
+
+Run: python scripts/ablate_bwd.py [--config N]
+"""
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpurt_jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+
+from tpurt.scene import configs
+from tpurt.core import geom
+from tpurt.shading import deferred as D
+
+ap = argparse.ArgumentParser()
+ap.add_argument("--config", type=int, default=5)
+args = ap.parse_args()
+
+if args.config == 5:
+    scene, cfg = configs.config5_multimesh(height=1080, width=1920)
+else:
+    scene, cfg = configs.ALL_CONFIGS[args.config](1024, 1024)
+H, W = cfg.height, cfg.width
+N = H * W
+T = scene.n_tris
+
+o, d = geom.generate_rays(scene.camera, H, W, 0, H)
+o = o.reshape(-1, 3)
+d = d.reshape(-1, 3)
+
+key = jax.random.PRNGKey(0)
+prim = jax.random.randint(key, (1, N), 0, T)
+is_tri = jnp.ones((1, N), bool)
+occ = jax.random.randint(key, (1, N), 0, 4)
+recs = D.HitRecords(prim=prim, is_tri=is_tri, occ=occ)
+
+
+def fetch(x):
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    return float(jnp.asarray(leaf).reshape(-1)[0:1][0])
+
+
+def bench(name, fn, *a):
+    fetch(fn(*a))
+    fetch(fn(*a))
+    t0 = time.perf_counter()
+    out = None
+    for _ in range(3):
+        out = fn(*a)
+    fetch(out)
+    dt = (time.perf_counter() - t0) / 3 * 1e3
+    print(f"{name}: {dt:.1f} ms", file=sys.stderr)
+    return dt
+
+
+def loss(s):
+    img = D.shade_from_records(s, o, d, recs, cfg.max_depth, True)
+    return jnp.sum(img * img)
+
+
+shade_fwd = jax.jit(lambda s: D.shade_from_records(s, o, d, recs,
+                                                   cfg.max_depth, True))
+shade_bwd = jax.jit(jax.grad(loss, allow_int=True))
+
+
+def restrict(names):
+    """grad flowing only to the named leaves (others stop_gradient'ed)."""
+    sg = jax.lax.stop_gradient
+
+    def f(s):
+        kw = {}
+        for fld in ("vertices", "vnormals", "uvs", "textures", "light_pos",
+                    "light_color"):
+            if fld not in names and getattr(s, fld, None) is not None:
+                kw[fld] = sg(getattr(s, fld))
+        if "materials" not in names:
+            kw["materials"] = sg(s.materials)
+        return loss(s.replace(**kw))
+
+    return jax.jit(jax.grad(f, allow_int=True))
+
+
+bench("shade_fwd", shade_fwd, scene)
+bench("shade_bwd (all leaves)", shade_bwd, scene)
+bench("bwd_verts", restrict({"vertices", "vnormals"}), scene)
+if scene.textured:
+    bench("bwd_tex", restrict({"textures", "uvs"}), scene)
+bench("bwd_mats+lights", restrict({"materials", "light_pos", "light_color"}),
+      scene)
+
+from tpurt.kernels.packc import pack_clusters
+from tpurt.render import prepare
+
+plan = prepare(scene, cfg)
+if plan.kind == "clusters":
+    pack_j = jax.jit(lambda s: pack_clusters(s, plan.tri_ids))
+    bench("pack_fwd", pack_j, scene)

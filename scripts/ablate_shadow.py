@@ -22,8 +22,8 @@ from tpurt.kernels import traversal as TV
 from tpurt.kernels.packc import pack_clusters
 from tpurt.render import prepare
 from tpurt.scene.configs import config5_multimesh
-from tpurt.shading.deferred import (_build_shadepack, _hit_geometry,
-                                    _recompute_tuv)
+from tpurt.shading.deferred import (_build_shadepack, _gather_shaderows,
+                                    _hit_geometry, _recompute_tuv)
 
 scene, cfg = config5_multimesh(height=1080, width=1920)
 plan = prepare(scene, cfg)
@@ -61,12 +61,13 @@ def bench(name, fn, *a):
 
 
 def hitgeom(s, use_pack):
-    pack = _build_shadepack(s) if use_pack else None
     miss = ids < 0
     is_tri = (~miss) & (ids < T)
     prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
-    t, u, v = _recompute_tuv(s, o, d, prim, is_tri, pack)
-    p, n, _ = _hit_geometry(s, o, d, t, prim, is_tri, u, v, pack)
+    rows = (_gather_shaderows(s, jnp.maximum(prim, 0), _build_shadepack(s))
+            if use_pack else None)
+    t, u, v = _recompute_tuv(s, o, d, prim, is_tri, rows=rows)
+    p, n, _ = _hit_geometry(s, o, d, t, prim, is_tri, u, v, rows=rows)
     return p, p + n * C.RAY_OFFSET_EPS, ~miss
 
 

@@ -87,38 +87,58 @@ def records_oracle(scene, o, d, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True):
 
 
 def _build_shadepack(scene):
-    """Per-TRIANGLE gather tables, O(T): [v0|e1|e2] (T, 9), corner normals
-    (T, 9) and corner uvs (T, 6).  Shading then does ONE wide row gather
-    per pixel instead of a triangle-index gather CHAINED into 3 dependent
+    """Per-TRIANGLE gather table, O(T): ONE (T, K) concat of [v0|e1|e2]
+    (cols 0:9), corner normals (9:18 when smooth) and corner uvs (next 6
+    when textured).  Shading then does ONE wide row gather per pixel per
+    depth instead of a triangle-index gather CHAINED into 3 dependent
     vertex/normal/uv gathers — measured 2× on the gather-bound deferred
-    pass at 2M pixels (BASELINE.md shading sub-split).  e1/e2 are computed
-    with the same subtraction as the inline path, so values (and gradients
-    to vertices) are bit-identical."""
+    pass at 2M pixels (BASELINE.md shading sub-split).  A single table
+    also means the BACKWARD pass emits ONE (T, K) scatter-add per depth
+    instead of one per use-site (the HLO showed 4 separate 2M-row scatters
+    into (T, 9) before the merge).  e1/e2 are computed with the same
+    subtraction as the inline path, so values (and gradients to vertices)
+    are bit-identical."""
     tri = scene.triangles
     v0 = scene.vertices[tri[:, 0]]
     e1 = scene.vertices[tri[:, 1]] - v0
     e2 = scene.vertices[tri[:, 2]] - v0
-    tri9 = jnp.concatenate([v0, e1, e2], axis=-1)
-    nrm9 = None
+    cols = [v0, e1, e2]
     if scene.smooth:
-        nrm9 = jnp.concatenate(
-            [scene.vnormals[tri[:, 0]], scene.vnormals[tri[:, 1]],
-             scene.vnormals[tri[:, 2]]], axis=-1)
-    uv6 = None
+        cols += [scene.vnormals[tri[:, 0]], scene.vnormals[tri[:, 1]],
+                 scene.vnormals[tri[:, 2]]]
     if scene.textured:
-        uv6 = jnp.concatenate(
-            [scene.uvs[tri[:, 0]], scene.uvs[tri[:, 1]],
-             scene.uvs[tri[:, 2]]], axis=-1)
-    return tri9, nrm9, uv6
+        cols += [scene.uvs[tri[:, 0]], scene.uvs[tri[:, 1]],
+                 scene.uvs[tri[:, 2]]]
+    return jnp.concatenate(cols, axis=-1)
 
 
-def _tri_rows(scene, pid, pack):
-    """v0/e1/e2 rows at pid — from the pack's single wide gather when
-    available, else the chained per-pixel gathers (used by callers that
-    touch few rays, e.g. the wavefront reflection continuation, where
-    building O(T) tables would cost more than they save)."""
+def _gather_shaderows(scene, pid, pack):
+    """The one wide row gather per (pixel, depth): → (tri_rows, nrm_rows,
+    uv_rows) tuples of statically-sliced columns (None where the scene has
+    no such attribute)."""
+    g = pack[pid]
+    tri_rows = (g[..., 0:3], g[..., 3:6], g[..., 6:9])
+    k = 9
+    nrm_rows = None
+    if scene.smooth:
+        nrm_rows = (g[..., k:k + 3], g[..., k + 3:k + 6], g[..., k + 6:k + 9])
+        k += 9
+    uv_rows = None
+    if scene.textured:
+        uv_rows = (g[..., k:k + 2], g[..., k + 2:k + 4], g[..., k + 4:k + 6])
+    return tri_rows, nrm_rows, uv_rows
+
+
+def _tri_rows(scene, pid, pack=None, rows=None):
+    """v0/e1/e2 rows at pid — pre-gathered `rows` when the caller already
+    did the wide gather, else one wide gather from `pack`, else the
+    chained per-pixel gathers (used by callers that touch few rays, e.g.
+    the wavefront reflection continuation, where building O(T) tables
+    would cost more than they save)."""
+    if rows is not None:
+        return rows[0]
     if pack is not None:
-        g = pack[0][pid]
+        g = pack[pid]
         return g[..., 0:3], g[..., 3:6], g[..., 6:9]
     tri = scene.triangles[pid]
     v0 = scene.vertices[tri[..., 0]]
@@ -127,7 +147,7 @@ def _tri_rows(scene, pid, pack):
     return v0, e1, e2
 
 
-def _recompute_tuv(scene, o, d, prim, is_tri, pack=None):
+def _recompute_tuv(scene, o, d, prim, is_tri, pack=None, rows=None):
     """Differentiable (t, u, v) at fixed topology.
 
     Triangles: Möller–Trumbore against the single gathered triangle
@@ -135,7 +155,7 @@ def _recompute_tuv(scene, o, d, prim, is_tri, pack=None):
     nearest-root-in-range quadratic.  Miss lanes get t = T_NONE.
     """
     pid = jnp.maximum(prim, 0)
-    v0, e1, e2 = _tri_rows(scene, pid, pack)
+    v0, e1, e2 = _tri_rows(scene, pid, pack, rows)
     pvec = vec.cross(d, e2)
     det = vec.dot(e1, pvec)
     inv_det = 1.0 / jnp.where(jnp.abs(det) < C.MT_DET_EPS, 1.0, det)
@@ -167,14 +187,16 @@ def _recompute_tuv(scene, o, d, prim, is_tri, pack=None):
     return t, u, v
 
 
-def _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack=None):
+def _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack=None, rows=None):
     """Position, shading normal, material id (mirrors ref/oracle.py)."""
     pid = jnp.maximum(prim, 0)
     p = o + t[..., None] * d
     if scene.smooth:
-        if pack is not None:
-            gn = pack[1][pid]
-            n0, n1, n2 = gn[..., 0:3], gn[..., 3:6], gn[..., 6:9]
+        if rows is not None:
+            n0, n1, n2 = rows[1]
+        elif pack is not None:
+            g = pack[pid]
+            n0, n1, n2 = g[..., 9:12], g[..., 12:15], g[..., 15:18]
         else:
             tri = scene.triangles[pid]
             n0 = scene.vnormals[tri[..., 0]]
@@ -183,7 +205,7 @@ def _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack=None):
         w = (1.0 - u - v)[..., None]
         n_tri = vec.normalize(w * n0 + u[..., None] * n1 + v[..., None] * n2)
     else:
-        _, e1, e2 = _tri_rows(scene, pid, pack)
+        _, e1, e2 = _tri_rows(scene, pid, pack, rows)
         n_tri = vec.normalize(vec.cross(e1, e2))
     n_tri = jnp.where(vec.dot(n_tri, d)[..., None] > 0.0, -n_tri, n_tri)
     if scene.n_real_spheres == 0:
@@ -194,11 +216,10 @@ def _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack=None):
     return p, n, mat
 
 
-def _hit_uv_pack(pid, u, v, is_tri, pack):
-    """Interpolated texture coordinates from the uv6 table — same math as
-    ref/oracle.py:_hit_uv, one (N, 6) gather instead of tri + 3×(N, 2)."""
-    guv = pack[2][pid]
-    uv0, uv1, uv2 = guv[..., 0:2], guv[..., 2:4], guv[..., 4:6]
+def _hit_uv_rows(uv_rows, u, v, is_tri):
+    """Interpolated texture coordinates from pre-gathered corner-uv rows —
+    same math as ref/oracle.py:_hit_uv, zero additional gathers."""
+    uv0, uv1, uv2 = uv_rows
     w = (1.0 - u - v)[..., None]
     uv = w * uv0 + u[..., None] * uv1 + v[..., None] * uv2
     return jnp.where(is_tri[..., None], uv, 0.0)
@@ -258,15 +279,17 @@ def shade_from_records(
         is_tri = recs.is_tri[depth]
         occ = recs.occ[depth]
         hit = prim >= 0
-        t, u, v = _recompute_tuv(scene, o, d, prim, is_tri, pack)
-        p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack)
+        # ONE wide row gather per depth; every consumer below slices it
+        # statically (fwd: one gather; bwd: one (T, K) scatter-add)
+        rows = _gather_shaderows(scene, jnp.maximum(prim, 0), pack)
+        t, u, v = _recompute_tuv(scene, o, d, prim, is_tri, rows=rows)
+        p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v,
+                                  rows=rows)
 
         m = scene.materials
         if scene.textured:
             tex = _sample_texture_flat(
-                scene, mat,
-                _hit_uv_pack(jnp.maximum(prim, 0), u, v, is_tri, pack),
-            )
+                scene, mat, _hit_uv_rows(rows[2], u, v, is_tri))
         else:
             tex = 1.0  # static: skip 12 texel gathers/pixel/bounce
         ka = m.ka[mat]
