@@ -64,6 +64,10 @@ NCH_SHADOW = 8
 #: cluster count above which the wavefront path traces shadows in the
 #: re-binned shadow kernel (measured crossover — see _wavefront_records)
 SHADOW_REBIN_MIN_CLUSTERS = 2048
+#: shadow-pass survivor emission order: True streams far-from-light (=
+#: near-the-surface) clusters first — contact geometry is the likeliest
+#: occluder, so per-chunk saturation exits earlier (A/B constant)
+SHADOW_NEAR_FIRST = True
 #: square pixel-tile geometry: RAYS = TILE_H × TILE_W.  Square tiles keep
 #: each tile's ray bundle a narrow frustum, which is what makes the
 #: conservative interval cull selective — a full-image-width row of rays
@@ -330,7 +334,7 @@ def _trav_kernel(
             ok = ok & (entry <= t_hi)
         return ok, entry
 
-    def cull_to_smem(ok0, entry0, chunk_rows):
+    def cull_to_smem(ok0, entry0, chunk_rows, reverse=False):
         """Emit cull results to SMEM: bucket the whole-tile survivor row
         `ok0` (1, C_pad) front-to-back by conservative entry `entry0`
         (1, C_pad), pack bucket + per-chunk mask rows into 16-bit words,
@@ -414,7 +418,13 @@ def _trav_kernel(
         scnt[0] = 0
         sovf[0] = 0
 
-        for kb in range(KB):
+        # emission order: closest pass needs near-first (its t-termination
+        # reads bstart per bucket); the any-hit shadow pass streams the
+        # whole list in order, so `reverse` emits far-from-light first =
+        # NEAR-THE-SURFACE first — contact geometry is the likeliest
+        # occluder, so per-chunk saturation fires after fewer clusters
+        order = range(KB - 1, -1, -1) if reverse else range(KB)
+        for pos, kb in enumerate(order):
             def outer(mw, _, kb=kb):
                 m = masks[mrow + kb, mw]
 
@@ -448,7 +458,9 @@ def _trav_kernel(
                 return 0
 
             lax.fori_loop(0, NW2, outer, 0, unroll=False)
-            bstart[kb + 1] = jnp.minimum(scnt[0], MAXS)
+            # by POSITION in emission order (== by bucket iff not reverse;
+            # the reverse consumer never reads bstart)
+            bstart[pos + 1] = jnp.minimum(scnt[0], MAXS)
         bstart[0] = 0
         s_surv[0, tile_id] = s_surv[0, tile_id] + scnt[0]
         s_pass[0, tile_id] = s_pass[0, tile_id] + 1
@@ -704,7 +716,8 @@ def _trav_kernel(
         alive_i = alive_t.astype(jnp.int32)
         o_c, d_c, tmax_c = cull_ray if cull_ray is not None else (o3, d3, tmax)
         ok, entry = _interval_ok(o_c, d_c, alive_t, tmax=tmax_c)
-        cull_to_smem(ok[0:1, :], entry[0:1, :], [ok[1:, :]])
+        cull_to_smem(ok[0:1, :], entry[0:1, :], [ok[1:, :]],
+                     reverse=SHADOW_NEAR_FIRST)
 
         # resident spheres first: saturation may exit before any DMA
         oo = _dot3(o3, o3)
