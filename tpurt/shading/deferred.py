@@ -270,6 +270,13 @@ def shade_from_records(
     w.r.t. every float scene leaf.  Conventions identical to ref/oracle.py
     (tested: oracle records ⇒ bit-identical structure, allclose values)."""
     pack = _build_shadepack(scene)
+    # material columns packed the same way: ONE (N, 11) row gather per
+    # depth instead of five separate 2M-row gathers (ka/kd/ks/shininess/
+    # reflectivity); texture_id stays a separate int gather
+    m = scene.materials
+    matpack = jnp.concatenate(
+        [m.ka, m.kd, m.ks, m.shininess[:, None], m.reflectivity[:, None]],
+        axis=-1)
     accum = jnp.zeros_like(o)
     thr = jnp.ones((*o.shape[:-1], 1), C.DTYPE)
     alive = jnp.ones(o.shape[:-1], bool)
@@ -286,16 +293,16 @@ def shade_from_records(
         p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v,
                                   rows=rows)
 
-        m = scene.materials
         if scene.textured:
             tex = _sample_texture_flat(
                 scene, mat, _hit_uv_rows(rows[2], u, v, is_tri))
         else:
             tex = 1.0  # static: skip 12 texel gathers/pixel/bounce
-        ka = m.ka[mat]
-        kd = m.kd[mat] * tex
-        ks = m.ks[mat]
-        shin = m.shininess[mat]
+        gm = matpack[mat]
+        ka = gm[..., 0:3]
+        kd = gm[..., 3:6] * tex
+        ks = gm[..., 6:9]
+        shin = gm[..., 9]
 
         color = ka * jnp.asarray(scene.ambient, C.DTYPE)
         view = -d
@@ -320,7 +327,7 @@ def shade_from_records(
         background = jnp.asarray(C.BACKGROUND, C.DTYPE)
         color = jnp.where(hit[..., None], color, background)
         accum = accum + jnp.where(alive[..., None], thr * color, 0.0)
-        refl = jnp.where(hit, m.reflectivity[mat], 0.0)
+        refl = jnp.where(hit, gm[..., 10], 0.0)
         thr = thr * refl[..., None]
         alive = alive & hit & (refl > 0.0)
         o = p_off
