@@ -48,8 +48,10 @@ def render_rows(scene, config: RenderConfig, row0, nrows: int, plan=None):
 
     if plan is not None and plan.kind == "clusters":
         from tpurt.kernels import traversal
+        from tpurt.render import cap_depth
 
-        return traversal.render_rows_clustered(scene, config, plan.tri_ids, row0, nrows)
+        return traversal.render_rows_clustered(
+            scene, cap_depth(config, plan), plan.tri_ids, row0, nrows)
     backend = _resolve_backend(config, scene)
     if backend == "pallas":
         from tpurt.kernels import megakernel

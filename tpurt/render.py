@@ -29,7 +29,7 @@ from tpurt.core.types import pytree_dataclass
 from typing import Any
 
 
-@pytree_dataclass(meta_fields=("kind",))
+@pytree_dataclass(meta_fields=("kind", "depth_cap"))
 class RenderPlan:
     """Prepared acceleration state for a scene (host-built, jit-carriable).
 
@@ -38,10 +38,17 @@ class RenderPlan:
                        the frozen (C, 128) cluster topology (AABBs refit
                        from live vertices inside jit)
           "oracle"   — brute force jnp
+    depth_cap: static max depth any path can reach (None = config's).
+          prepare() sets 0 when no material reflects: every path dies at
+          the primary hit, so bounce kernels/shading layers need not even
+          be COMPILED (the runtime cond-skip already made them near-free;
+          this removes them from the Mosaic/XLA program entirely — compile
+          time through the remote relay is minutes per kernel variant).
     """
 
     tri_ids: Any
     kind: str
+    depth_cap: Any = None
 
 
 def prepare(scene, config: RenderConfig | None = None, accel=None) -> RenderPlan:
@@ -88,7 +95,27 @@ def prepare(scene, config: RenderConfig | None = None, accel=None) -> RenderPlan
         cs = build_grid_native(verts, tris)
     else:
         cs = build_clusters_native(verts, tris)
-    return RenderPlan(tri_ids=jnp.asarray(cs.tri_ids), kind="clusters")
+    # static depth cap: concrete material table + no reflective entries ⇒
+    # no path survives depth 0 (conservative None when traced)
+    depth_cap = None
+    refl = scene.materials.reflectivity
+    if not isinstance(refl, jax.core.Tracer) and not bool(
+        jnp.any(refl > 0.0)
+    ):
+        depth_cap = 0
+    return RenderPlan(tri_ids=jnp.asarray(cs.tri_ids), kind="clusters",
+                      depth_cap=depth_cap)
+
+
+def cap_depth(config: RenderConfig, plan) -> RenderConfig:
+    """Apply the plan's static depth cap (see RenderPlan.depth_cap).
+
+    Image-identical: capped depths are exactly the ones no path reaches
+    (their throughput is zero in the oracle too)."""
+    cap = getattr(plan, "depth_cap", None)
+    if cap is not None and config.max_depth > cap:
+        return config.replace(max_depth=cap)
+    return config
 
 
 def _resolve_backend(config: RenderConfig, scene=None) -> str:
@@ -137,7 +164,8 @@ def render(scene, config: RenderConfig | None = None, plan: RenderPlan | None = 
     if plan.kind == "phase1":
         return _render_pallas_jit(scene, config)
     if plan.kind == "clusters":
-        return _render_clustered_jit(scene, plan.tri_ids, config)
+        return _render_clustered_jit(scene, plan.tri_ids,
+                                     cap_depth(config, plan))
     return _render_oracle(scene, config)
 
 
