@@ -102,7 +102,7 @@ shadow_j = jax.jit(
 bench("C  trace_shadows kernel", shadow_j, packed, pb, qb, ab)
 
 _, stats = jax.block_until_ready(shadow_j(packed, pb, qb, ab))
-surv, pas, ovf, strm = (np.asarray(stats[i]) for i in range(4))
+surv, pas, ovf, strm, chnk = (np.asarray(stats[i]) for i in range(5))
 live_t = int(np.ceil(float(n_live) / TV.RAYS))
 sv, st = surv[:live_t], strm[:live_t]
 pp = max(int(pas[:live_t].mean()), 1)

@@ -109,7 +109,7 @@ def _trav_kernel(
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref,
          ox_ref, oy_ref, oz_ref, dx_ref, dy_ref, dz_ref, al_ref,
          wtri_hbm, attr_hbm,
-         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf, s_strm,
+         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf, s_strm, s_chnk,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
          sems, ssem, bstart, keyv, keys_s, ksem) = refs
     elif mode == 2:
@@ -118,12 +118,12 @@ def _trav_kernel(
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref,
          px_ref, py_ref, pz_ref, qx_ref, qy_ref, qz_ref, al_ref,
          wtri_hbm, attr_hbm,
-         occ_ref, s_surv, s_pass, s_ovf, s_strm,
+         occ_ref, s_surv, s_pass, s_ovf, s_strm, s_chnk,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
          sems, ssem, bstart, keyv, keys_s, ksem) = refs
     else:
         (off_ref, glob_ref, wsph_ref, sattr_ref, aabb_ref, wtri_hbm, attr_hbm,
-         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf, s_strm,
+         id_ref, occ_ref, t_ref, s_surv, s_pass, s_ovf, s_strm, s_chnk,
          maskv, masks, slist, scnt, sovf, wscr, ascr, tb, ab, ub, vb, occb,
          sems, ssem, bstart, keyv, keys_s, ksem) = refs
     tile_id = pl.program_id(0)
@@ -131,6 +131,7 @@ def _trav_kernel(
     s_pass[0, tile_id] = 0
     s_ovf[0, tile_id] = 0
     s_strm[0, tile_id] = 0
+    s_chnk[0, tile_id] = 0
     f32 = jnp.float32
     C_pad = aabb_ref.shape[1]
     # chunk granularity + mask-row layout are mode-dependent (NCH_SHADOW)
@@ -613,6 +614,7 @@ def _trav_kernel(
 
                     @pl.when(bit != 0)
                     def _(ch=ch):
+                        s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
                         sl = slice(ch * RCH, (ch + 1) * RCH)
                         tm, u, v = tri_math(
                             wscr[slot].reshape(8, 6 * LANES), X[:, sl],
@@ -804,6 +806,7 @@ def _trav_kernel(
 
                         @pl.when((bit & (live_bits >> ch)) != 0)
                         def _(ch=ch):
+                            s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
                             sl = slice(ch * RCH, (ch + 1) * RCH)
                             hit = tri_hit(
                                 wscr[slot].reshape(8, 6 * LANES),
@@ -1002,7 +1005,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
         packed.n_tris, RAYS, ntx, 0,
     )
     off = jnp.asarray(row0, jnp.int32).reshape(1, 1)
-    ids, occ, tbest, s_surv, s_pass, s_ovf, s_strm = pl.pallas_call(
+    ids, occ, tbest, s_surv, s_pass, s_ovf, s_strm, s_chnk = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -1022,11 +1025,13 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
             jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.float32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
@@ -1037,7 +1042,8 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
     )(off, glob, packed.wsph, packed.sattr, packed.aabb,
       packed.wtri_c, packed.attr_c)
     return (ids, occ, tbest,
-            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
+            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm, s_chnk],
+                            axis=0))
 
 
 def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live,
@@ -1066,7 +1072,7 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live,
     nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
     row = lambda x: x.reshape(1, N)                          # noqa: E731
     ray_spec = pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM)
-    ids, occ, tbest, s_surv, s_pass, s_ovf, s_strm = pl.pallas_call(
+    ids, occ, tbest, s_surv, s_pass, s_ovf, s_strm, s_chnk = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -1088,11 +1094,13 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, N), jnp.int32),
             jax.ShapeDtypeStruct((1, N), jnp.int32),
             jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
@@ -1106,7 +1114,8 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live,
       row(alive.astype(jnp.int32)),
       packed.wtri_c, packed.attr_c)
     return (ids[0], occ[0], tbest[0],
-            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
+            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm, s_chnk],
+                            axis=0))
 
 
 def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
@@ -1135,7 +1144,7 @@ def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
     nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
     row = lambda x: x.reshape(1, N)                          # noqa: E731
     ray_spec = pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM)
-    occ, s_surv, s_pass, s_ovf, s_strm = pl.pallas_call(
+    occ, s_surv, s_pass, s_ovf, s_strm, s_chnk = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
         in_specs=[
@@ -1155,9 +1164,11 @@ def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((1, N), jnp.int32),
+            jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
@@ -1171,7 +1182,8 @@ def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
       row(alive.astype(jnp.int32)),
       packed.wtri_c, packed.attr_c)
     return (occ[0],
-            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm], axis=0))
+            jnp.concatenate([s_surv, s_pass, s_ovf, s_strm, s_chnk],
+                            axis=0))
 
 
 def _untile(x, nrows, W):
@@ -1434,4 +1446,5 @@ def traversal_stats(scene, config, tri_ids, row0=0, nrows=None):
     nrows = config.height if nrows is None else nrows
     packed = pack_clusters(scene, tri_ids)
     _, _, _, stats = trace_records(packed, config, row0, nrows)
-    return stats  # (4, ntiles): emitted survivors, passes, overflows, streamed
+    return stats  # (5, ntiles): emitted, passes, overflows, streamed,
+    #                  chunk-epilogues computed
