@@ -227,10 +227,15 @@ def _hit_uv_rows(uv_rows, u, v, is_tri):
 
 def _sample_texture_flat(scene, mat, uv):
     """Bilinear texture lookup, element-for-element identical to
-    ref/oracle.py:_sample_texture, but each texel comes from ONE
-    flat-index row gather of textures.reshape(-1, 3) instead of a 3-index
-    gather — the multi-dim gather dominated the deferred pass at 2M pixels
-    (196 of 282 ms, BASELINE.md)."""
+    ref/oracle.py:_sample_texture, via ONE wide row gather: a quad table
+    (nt·th·tw, 12) bakes each texel's four bilinear corners
+    [c(x,y) | c(x+1,y) | c(x,y+1) | c(x+1,y+1)] (wrap via jnp.roll, same
+    semantics as the oracle's mod), so per pixel ONE (N, 12) gather
+    replaces four (N, 3) texel gathers — and the backward pass pays one
+    scatter-add plus four exact roll-transposes into the texture gradient
+    instead of four 2M-row scatters.  The quad build is O(texels), tiny
+    next to the pixel axis.  Products and adds are the oracle's exact
+    expression on the same values — bit-identical images and gradients."""
     tex_id = scene.materials.texture_id[mat]
     tid = jnp.maximum(tex_id, 0)
     nt, th, tw, _ = scene.textures.shape
@@ -242,23 +247,22 @@ def _sample_texture_flat(scene, mat, uv):
     y0 = jnp.floor(y)
     fx = (x - x0)[..., None]
     fy = (y - y0)[..., None]
-    flat = scene.textures.reshape(nt * th * tw, 3)
-    base = tid * (th * tw)
-
-    def texel(xi, yi):
-        xi = jnp.mod(xi.astype(jnp.int32), tw)
-        yi = jnp.mod(yi.astype(jnp.int32), th)
-        return flat[base + yi * tw + xi]
-
-    c00 = texel(x0, y0)
-    c10 = texel(x0 + 1, y0)
-    c01 = texel(x0, y0 + 1)
-    c11 = texel(x0 + 1, y0 + 1)
+    tex = scene.textures
+    quad = jnp.concatenate(
+        [tex,
+         jnp.roll(tex, -1, axis=2),                   # (x+1, y)
+         jnp.roll(tex, -1, axis=1),                   # (x, y+1)
+         jnp.roll(jnp.roll(tex, -1, axis=2), -1, axis=1)],  # (x+1, y+1)
+        axis=-1,
+    ).reshape(nt * th * tw, 12)
+    xi = jnp.mod(x0.astype(jnp.int32), tw)
+    yi = jnp.mod(y0.astype(jnp.int32), th)
+    q = quad[tid * (th * tw) + yi * tw + xi]          # (N, 12)
     col = (
-        c00 * (1 - fx) * (1 - fy)
-        + c10 * fx * (1 - fy)
-        + c01 * (1 - fx) * fy
-        + c11 * fx * fy
+        q[..., 0:3] * (1 - fx) * (1 - fy)
+        + q[..., 3:6] * fx * (1 - fy)
+        + q[..., 6:9] * (1 - fx) * fy
+        + q[..., 9:12] * fx * fy
     )
     return jnp.where(tex_id[..., None] < 0, 1.0, col)
 
