@@ -109,13 +109,18 @@ def _build_shadepack(scene):
     if scene.textured:
         cols += [scene.uvs[tri[:, 0]], scene.uvs[tri[:, 1]],
                  scene.uvs[tri[:, 2]]]
+    # material id as a float column (< 2^24, exact in f32): folds the 2M-row
+    # tri_mat int gather into the same wide row; its cotangent is zero (used
+    # only through an int cast), so the bwd scatter is unaffected
+    cols += [lax.stop_gradient(
+        scene.tri_mat[:, None].astype(cols[0].dtype))]
     return jnp.concatenate(cols, axis=-1)
 
 
 def _gather_shaderows(scene, pid, pack):
     """The one wide row gather per (pixel, depth): → (tri_rows, nrm_rows,
-    uv_rows) tuples of statically-sliced columns (None where the scene has
-    no such attribute)."""
+    uv_rows, mat) with statically-sliced columns (None where the scene has
+    no such attribute); mat is the triangle's material id, int32."""
     g = pack[pid]
     tri_rows = (g[..., 0:3], g[..., 3:6], g[..., 6:9])
     k = 9
@@ -126,7 +131,9 @@ def _gather_shaderows(scene, pid, pack):
     uv_rows = None
     if scene.textured:
         uv_rows = (g[..., k:k + 2], g[..., k + 2:k + 4], g[..., k + 4:k + 6])
-    return tri_rows, nrm_rows, uv_rows
+        k += 6
+    mat = jnp.round(g[..., k]).astype(C.INDEX_DTYPE)
+    return tri_rows, nrm_rows, uv_rows, mat
 
 
 def _tri_rows(scene, pid, pack=None, rows=None):
@@ -208,11 +215,12 @@ def _hit_geometry(scene, o, d, t, prim, is_tri, u, v, pack=None, rows=None):
         _, e1, e2 = _tri_rows(scene, pid, pack, rows)
         n_tri = vec.normalize(vec.cross(e1, e2))
     n_tri = jnp.where(vec.dot(n_tri, d)[..., None] > 0.0, -n_tri, n_tri)
+    mat_tri = rows[3] if rows is not None else scene.tri_mat[pid]
     if scene.n_real_spheres == 0:
-        return p, n_tri, scene.tri_mat[pid]
+        return p, n_tri, mat_tri
     n_sph = geom.sphere_normal(p, scene.sph_center[pid])
     n = jnp.where(is_tri[..., None], n_tri, n_sph)
-    mat = jnp.where(is_tri, scene.tri_mat[pid], scene.sph_mat[pid])
+    mat = jnp.where(is_tri, mat_tri, scene.sph_mat[pid])
     return p, n, mat
 
 
