@@ -233,7 +233,7 @@ def _hit_uv_rows(uv_rows, u, v, is_tri):
     return jnp.where(is_tri[..., None], uv, 0.0)
 
 
-def _sample_texture_flat(scene, mat, uv):
+def _sample_texture_flat(scene, tex_id, uv):
     """Bilinear texture lookup, element-for-element identical to
     ref/oracle.py:_sample_texture, via ONE wide row gather: a quad table
     (nt·th·tw, 12) bakes each texel's four bilinear corners
@@ -244,7 +244,6 @@ def _sample_texture_flat(scene, mat, uv):
     instead of four 2M-row scatters.  The quad build is O(texels), tiny
     next to the pixel axis.  Products and adds are the oracle's exact
     expression on the same values — bit-identical images and gradients."""
-    tex_id = scene.materials.texture_id[mat]
     tid = jnp.maximum(tex_id, 0)
     nt, th, tw, _ = scene.textures.shape
     u = uv[..., 0] - jnp.floor(uv[..., 0])
@@ -282,12 +281,14 @@ def shade_from_records(
     w.r.t. every float scene leaf.  Conventions identical to ref/oracle.py
     (tested: oracle records ⇒ bit-identical structure, allclose values)."""
     pack = _build_shadepack(scene)
-    # material columns packed the same way: ONE (N, 11) row gather per
-    # depth instead of five separate 2M-row gathers (ka/kd/ks/shininess/
-    # reflectivity); texture_id stays a separate int gather
+    # material columns packed the same way: ONE (N, 12) row gather per
+    # depth instead of six separate 2M-row gathers (ka/kd/ks/shininess/
+    # reflectivity/texture_id — the id rides as an exact float, like
+    # tri_mat in the shadepack)
     m = scene.materials
     matpack = jnp.concatenate(
-        [m.ka, m.kd, m.ks, m.shininess[:, None], m.reflectivity[:, None]],
+        [m.ka, m.kd, m.ks, m.shininess[:, None], m.reflectivity[:, None],
+         lax.stop_gradient(m.texture_id[:, None].astype(C.DTYPE))],
         axis=-1)
     accum = jnp.zeros_like(o)
     thr = jnp.ones((*o.shape[:-1], 1), C.DTYPE)
@@ -305,12 +306,13 @@ def shade_from_records(
         p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v,
                                   rows=rows)
 
-        if scene.textured:
-            tex = _sample_texture_flat(
-                scene, mat, _hit_uv_rows(rows[2], u, v, is_tri))
-        else:
-            tex = 1.0  # static: skip 12 texel gathers/pixel/bounce
         gm = matpack[mat]
+        if scene.textured:
+            tex_id = jnp.round(gm[..., 11]).astype(C.INDEX_DTYPE)
+            tex = _sample_texture_flat(
+                scene, tex_id, _hit_uv_rows(rows[2], u, v, is_tri))
+        else:
+            tex = 1.0  # static: skip the quad gather entirely
         ka = gm[..., 0:3]
         kd = gm[..., 3:6] * tex
         ks = gm[..., 6:9]
