@@ -56,28 +56,73 @@ def _merge(best_t, best_id, t_new, id_new):
     return jnp.where(imp, t_new, best_t), jnp.where(imp, id_new, best_id)
 
 
-def _ring_closest(packed, config, o, d, alive, axis, n):
+def _root_entry(lo, hi, o, d):
+    """Conservative per-ray entry distance into the RESIDENT shard's root
+    box → (entry (N,), hit (N,)) — XLA-level slab test, O(rays)."""
+    t_lo = jnp.full(o.shape[:1], -C.T_NONE)
+    t_hi = jnp.full(o.shape[:1], C.T_NONE)
+    for k in range(3):
+        dk = d[:, k]
+        par = jnp.abs(dk) < 1e-12
+        safe = jnp.where(par, jnp.where(dk >= 0, 1e-12, -1e-12), dk)
+        ta = (lo[k] - o[:, k]) / safe
+        tb = (hi[k] - o[:, k]) / safe
+        near, far = jnp.minimum(ta, tb), jnp.maximum(ta, tb)
+        inside = (o[:, k] >= lo[k]) & (o[:, k] <= hi[k])
+        near = jnp.where(par, jnp.where(inside, -C.T_NONE, C.T_NONE), near)
+        far = jnp.where(par, jnp.where(inside, C.T_NONE, -C.T_NONE), far)
+        t_lo = jnp.maximum(t_lo, near)
+        t_hi = jnp.minimum(t_hi, far)
+    return jnp.maximum(t_lo, 0.0), (t_lo <= t_hi) & (t_hi > 0.0)
+
+
+def _ring_closest(packed, config, o, d, alive, axis, n, tmax=None):
     """n ring steps of closest-hit: returns (ids, t) global bests for the
     rays that START on this device (they travel the full ring and land back
-    home on the last permute)."""
+    home on the last permute).
+
+    Cross-shard early termination (exact): on arrival at each shard, a ray
+    skips the trace when (a) it misses the shard's root box, (b) its
+    carried best t precedes the shard's conservative entry (non-strict
+    keep at equality — an equal-t smaller-id tie could still win), or
+    (c) `tmax` is given (shadow rings: the occlusion band end, which
+    TRAVELS with the ray) and the carried best already proves occlusion.
+    Dead rays still ride the ring (fixed shapes) but thin every kernel
+    cull on the remaining shards."""
     from tpurt.kernels.traversal import RAYS, trace_bounce
 
     N = o.shape[0]
+    lo = jnp.min(packed.aabb[0:3, : packed.n_clusters], axis=1)
+    hi = jnp.max(packed.aabb[3:6, : packed.n_clusters], axis=1)
+    no_tmax = tmax is None
+    if no_tmax:
+        tmax = jnp.full((N,), C.T_NONE, jnp.float32)
     state = (
         o, d, alive,
         jnp.full((N,), C.T_NONE, jnp.float32),
         jnp.full((N,), -1, jnp.int32),
+        tmax,
     )
     perm = [(i, (i + 1) % n) for i in range(n)]
     for _step in range(n):
-        o_c, d_c, al_c, bt, bid = state
+        o_c, d_c, al_c, bt, bid, tm = state
+        ent, hitbox = _root_entry(lo, hi, o_c, d_c)
+        keep = hitbox & (ent <= bt)
+        if _step == 0 and packed.n_sph_blocks > 0:
+            # resident spheres are REPLICATED, not part of any shard's
+            # cluster box: fold them once by keeping every ray at step 0
+            # (their hits then seed bt for the later shards' skip test)
+            keep = jnp.ones_like(keep)
+        al_eff = al_c & keep
+        if not no_tmax:
+            al_eff = al_eff & ~(bt < tm)  # already provably occluded
         ids_s, _occ, t_s, _ = trace_bounce(
-            packed, config, o_c, d_c, al_c,
+            packed, config, o_c, d_c, al_eff,
             jnp.asarray(N, jnp.int32),
         )
         bt, bid = _merge(bt, bid, t_s, ids_s)
-        state = lax.ppermute((o_c, d_c, al_c, bt, bid), axis, perm)
-    _, _, _, bt, bid = state
+        state = lax.ppermute((o_c, d_c, al_c, bt, bid, tm), axis, perm)
+    _, _, _, bt, bid, _ = state
     return bid, bt
 
 
@@ -138,7 +183,8 @@ def _render_slab_ring(scene, config, tri_ids_loc, row0, nrows, axis, n):
                 dist = jnp.sqrt(jnp.sum(to_l * to_l, axis=-1))
                 ldir = to_l / jnp.maximum(dist, 1e-20)[..., None]
                 _ids_s, t_s = _ring_closest(
-                    packed, config, p_off, ldir, hit, axis, n
+                    packed, config, p_off, ldir, hit, axis, n,
+                    tmax=dist - C.RAY_OFFSET_EPS,
                 )
                 occ = hit & (t_s < dist - C.RAY_OFFSET_EPS)
                 occ_bits = occ_bits | jnp.where(occ, 1 << li, 0)
