@@ -28,6 +28,7 @@ SMEM: survivor list + mask ≈ 8 KB per 1024 clusters.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -84,6 +85,12 @@ MAXS = 4096
 #: emitted bucket-major (nearest first) and a whole bucket is skipped once
 #: every live ray's best hit is nearer than the bucket's entry threshold
 KB = 4
+#: bounding-cone refinement of the interval cull (A/B constant, read at
+#: trace time): AND a conservative sphere-vs-cone test into every cull —
+#: the slab test's per-axis interval relaxation admits corner directions
+#: no real ray points at; the cone trims them for point-apex bundles
+#: (primary tiles, reversed shadow culls)
+CONE_CULL = os.environ.get("TPURT_CONE_CULL", "1") != "0"
 _BIG = 3.0e37
 
 
@@ -302,11 +309,16 @@ def _trav_kernel(
             any_alive.append(jnp.any(alive[:, sl]).astype(f32))
         any_col = gcol(any_alive) > 0.5
 
+        o_los, o_his, d_los, d_his = [], [], [], []
         for k in range(3):
             o_lo = gcol(bounds(o3[k], True))
             o_hi = gcol(bounds(o3[k], False))
             d_lo = gcol(bounds(d3[k], True))
             d_hi = gcol(bounds(d3[k], False))
+            o_los.append(o_lo)
+            o_his.append(o_hi)
+            d_los.append(d_lo)
+            d_his.append(d_hi)
             crosses = (d_lo < 1e-12) & (d_hi > -1e-12)        # (GRPS, 1)
             lo_r = aabb[k : k + 1, :]
             hi_r = aabb[3 + k : 4 + k, :]
@@ -333,6 +345,64 @@ def _trav_kernel(
         if tmax is not None:
             t_hi = gcol(bounds(tmax, False))          # per-group max range
             ok = ok & (entry <= t_hi)
+
+        if not CONE_CULL:
+            return ok, entry
+
+        # ---- bounding-cone refinement ---------------------------------
+        # The slab test relaxes the ray set to independent per-axis
+        # intervals; its corner directions need not lie near any real
+        # ray.  Tighten with a conservative sphere-vs-cone test: apex at
+        # the group's origin-box center, axis = normalized direction-box
+        # midpoint, half-angle from the minimum corner cosine of the
+        # direction box, and cluster bounding spheres INFLATED by the
+        # origin-box half-diagonal (Minkowski) so spread origins stay
+        # conservative.  Exact-apex cases — primary rays (camera point)
+        # and reversed shadow culls (light point) — get the full benefit;
+        # wide bounce bundles disable themselves via the cos guard.
+        mid = [0.5 * (d_los[k] + d_his[k]) for k in range(3)]
+        m2 = mid[0] * mid[0] + mid[1] * mid[1] + mid[2] * mid[2]
+        inv_m = lax.rsqrt(jnp.maximum(m2, 1e-24))
+        ax = [mid[k] * inv_m for k in range(3)]               # (GRPS, 1)
+        cos_min = jnp.full((GRPS, 1), 1.0, f32)
+        for sx in (0, 1):
+            for sy in (0, 1):
+                for sz in (0, 1):
+                    ck = (
+                        d_his[0] if sx else d_los[0],
+                        d_his[1] if sy else d_los[1],
+                        d_his[2] if sz else d_los[2],
+                    )
+                    n2 = ck[0] * ck[0] + ck[1] * ck[1] + ck[2] * ck[2]
+                    dot = ax[0] * ck[0] + ax[1] * ck[1] + ax[2] * ck[2]
+                    cos_min = jnp.minimum(
+                        cos_min, dot * lax.rsqrt(jnp.maximum(n2, 1e-24))
+                    )
+        valid = (m2 > 1e-12) & (cos_min > 0.05)
+        cth = jnp.clip(cos_min, 1e-3, 1.0)
+        sth = jnp.sqrt(jnp.maximum(1.0 - cth * cth, 0.0))
+        ro2 = jnp.zeros((GRPS, 1), f32)
+        for k in range(3):
+            h = 0.5 * (o_his[k] - o_los[k])
+            ro2 = ro2 + h * h
+        ro = jnp.sqrt(ro2)
+        rc2 = jnp.zeros((1, C_pad), f32)
+        vv = jnp.zeros((GRPS, C_pad), f32)
+        p_ax = jnp.zeros((GRPS, C_pad), f32)
+        for k in range(3):
+            half = 0.5 * (aabb[3 + k : 4 + k, :] - aabb[k : k + 1, :])
+            rc2 = rc2 + half * half
+            vk = (
+                0.5 * (aabb[k : k + 1, :] + aabb[3 + k : 4 + k, :])
+                - 0.5 * (o_los[k] + o_his[k])
+            )                                         # (GRPS, C_pad)
+            vv = vv + vk * vk
+            p_ax = p_ax + ax[k] * vk
+        re = jnp.sqrt(rc2) + ro                       # (GRPS, C_pad)
+        q2 = vv - p_ax * p_ax
+        rhs = jnp.maximum(p_ax, 0.0) * sth + re
+        cone_ok = (q2 * (cth * cth) <= rhs * rhs) & (p_ax >= -re)
+        ok = ok & (cone_ok | ~valid)
         return ok, entry
 
     def cull_to_smem(ok0, entry0, chunk_rows, reverse=False):
