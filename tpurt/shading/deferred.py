@@ -21,14 +21,54 @@ the traversal kernel and a CPU path for tests.
 """
 from __future__ import annotations
 
+import os
 from typing import Any
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 from tpurt import constants as C
 from tpurt.core import geom, vec
 from tpurt.core.types import pytree_dataclass
+
+#: backward of the material-table row gather as a one-hot MXU matmul
+#: instead of an N-row scatter-add into M rows (A/B constant, trace time)
+MAT_SEGSUM = os.environ.get("TPURT_MAT_SEGSUM", "1") != "0"
+
+
+@jax.custom_vjp
+def _gather_small(table, idx):
+    """Row gather from a SMALL table (M rows ≪ N pixels) whose TRANSPOSE
+    is a one-hot matmul: dL/dtable = onehot(idx)ᵀ @ cot runs on the MXU in
+    one pass instead of an N-update scatter-add serializing on M rows.
+    Forward is the plain gather (unchanged cost/values); the backward sum
+    is f32 HIGHEST (every product is 0·x or 1·x, exact — only the
+    accumulation ORDER differs from scatter-add, so gradients are allclose,
+    not bit-equal)."""
+    return table[idx]
+
+
+def _gather_small_fwd(table, idx):
+    return table[idx], (idx, table.shape[0])
+
+
+def _gather_small_bwd(res, cot):
+    idx, M = res
+    flat = idx.reshape(-1)
+    cotf = cot.reshape(-1, cot.shape[-1])
+    onehot = (
+        flat[:, None] == jnp.arange(M, dtype=flat.dtype)[None, :]
+    ).astype(cotf.dtype)
+    dtab = lax.dot_general(
+        onehot, cotf, (((0,), (0,)), ((), ())),
+        precision=lax.Precision.HIGHEST,
+    )
+    return dtab, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+_gather_small.defvjp(_gather_small_fwd, _gather_small_bwd)
 
 
 @pytree_dataclass
@@ -99,16 +139,31 @@ def _build_shadepack(scene):
     subtraction as the inline path, so values (and gradients to vertices)
     are bit-identical."""
     tri = scene.triangles
-    v0 = scene.vertices[tri[:, 0]]
-    e1 = scene.vertices[tri[:, 1]] - v0
-    e2 = scene.vertices[tri[:, 2]] - v0
-    cols = [v0, e1, e2]
+    # ONE merged per-vertex table [pos | normal? | uv?] gathered once per
+    # corner: 3 gathers instead of 9 (fields × corners), so the backward
+    # pass emits 3 (V, 8) scatter-adds instead of 9 (V, 2..3) ones — the
+    # fixed O(T)-update vertex scatters were half the bwd scatter rows at
+    # 1M tris.  Column slices keep every downstream value (v0, e1 = g1−g0,
+    # corner normals/uvs) the same subtraction/order as before.
+    vcols = [scene.vertices]
     if scene.smooth:
-        cols += [scene.vnormals[tri[:, 0]], scene.vnormals[tri[:, 1]],
-                 scene.vnormals[tri[:, 2]]]
+        vcols.append(scene.vnormals)
     if scene.textured:
-        cols += [scene.uvs[tri[:, 0]], scene.uvs[tri[:, 1]],
-                 scene.uvs[tri[:, 2]]]
+        vcols.append(scene.uvs)
+    vtab = jnp.concatenate(vcols, axis=-1) if len(vcols) > 1 else vcols[0]
+    g0 = vtab[tri[:, 0]]
+    g1 = vtab[tri[:, 1]]
+    g2 = vtab[tri[:, 2]]
+    v0 = g0[:, 0:3]
+    e1 = g1[:, 0:3] - v0
+    e2 = g2[:, 0:3] - v0
+    cols = [v0, e1, e2]
+    k = 3
+    if scene.smooth:
+        cols += [g0[:, k:k + 3], g1[:, k:k + 3], g2[:, k:k + 3]]
+        k += 3
+    if scene.textured:
+        cols += [g0[:, k:k + 2], g1[:, k:k + 2], g2[:, k:k + 2]]
     # material id as a float column (< 2^24, exact in f32): folds the 2M-row
     # tri_mat int gather into the same wide row; its cotangent is zero (used
     # only through an int cast), so the bwd scatter is unaffected
@@ -306,7 +361,7 @@ def shade_from_records(
         p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v,
                                   rows=rows)
 
-        gm = matpack[mat]
+        gm = _gather_small(matpack, mat) if MAT_SEGSUM else matpack[mat]
         if scene.textured:
             tex_id = jnp.round(gm[..., 11]).astype(C.INDEX_DTYPE)
             tex = _sample_texture_flat(
