@@ -77,6 +77,22 @@ def test_checkpoint_roundtrip_scene(tmp_path):
     assert back.smooth == scene.smooth
 
 
+def test_checkpoint_int_keyed_dict_and_like(tmp_path):
+    """npz leaf order is the spec's (str-sorted dict keys), NOT jax's
+    flatten order (value-sorted): {2: a, 10: b} must not come back swapped,
+    with or without like= (regression for the like= unflatten bug)."""
+    a = np.arange(3.0)
+    b = np.arange(4.0) + 100.0
+    tree = {2: a, 10: b, 7: {"s": 1.5}}
+    p = str(tmp_path / "d.npz")
+    save_pytree(p, tree)
+    for like in (None, {2: np.zeros(3), 10: np.zeros(4), 7: {"s": 0.0}}):
+        back = load_pytree(p, like=like)
+        np.testing.assert_array_equal(np.asarray(back[2]), a)
+        np.testing.assert_array_equal(np.asarray(back[10]), b)
+        assert float(back[7]["s"]) == 1.5
+
+
 def test_cli_render(tmp_path):
     from tpurt.cli import main
 

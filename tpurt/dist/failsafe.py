@@ -79,23 +79,39 @@ def call_with_retries(fn, *args, retries: int = 2, backoff_s: float = 1.0,
     raise AssertionError("unreachable")
 
 
-def heartbeat(mesh, timeout_s: float = 60.0) -> float:
-    """All-peers liveness probe: a psum of ones over the mesh, bounded by
-    a watchdog.  Returns the round-trip seconds; raises WatchdogTimeout
-    if any peer is gone (the collective blocks forever otherwise)."""
+_heartbeat_fns: dict = {}
+
+
+def _heartbeat_fn(mesh):
+    """Cached jitted psum probe per mesh: rebuilding the shard_map lambda
+    every call defeats the jit cache (a fresh retrace + compile per probe,
+    charged against the watchdog through the slow remote relay)."""
     import jax
-    import jax.numpy as jnp
     from jax.sharding import PartitionSpec as P
 
-    axis = mesh.axis_names[0]
-
-    def probe():
+    key = (tuple(d.id for d in mesh.devices.flat), mesh.axis_names)
+    f = _heartbeat_fns.get(key)
+    if f is None:
+        axis = mesh.axis_names[0]
         f = jax.jit(
             jax.shard_map(
                 lambda x: jax.lax.psum(x, axis),
                 mesh=mesh, in_specs=P(axis), out_specs=P(),
             )
         )
+        _heartbeat_fns[key] = f
+    return f
+
+
+def heartbeat(mesh, timeout_s: float = 60.0) -> float:
+    """All-peers liveness probe: a psum of ones over the mesh, bounded by
+    a watchdog.  Returns the round-trip seconds; raises WatchdogTimeout
+    if any peer is gone (the collective blocks forever otherwise)."""
+    import jax.numpy as jnp
+
+    f = _heartbeat_fn(mesh)
+
+    def probe():
         t0 = time.perf_counter()
         n = f(jnp.ones((len(mesh.devices.flat),), jnp.int32))
         n.block_until_ready()

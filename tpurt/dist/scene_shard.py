@@ -116,9 +116,12 @@ def _ring_closest(packed, config, o, d, alive, axis, n, tmax=None):
         al_eff = al_c & keep
         if not no_tmax:
             al_eff = al_eff & ~(bt < tm)  # already provably occluded
+        # shadows=False: occlusion is traced by DEDICATED shadow rings (one
+        # per light) — the kernel's in-kernel per-light occlusion pass is
+        # the dominant cost and its result would be discarded here
         ids_s, _occ, t_s, _ = trace_bounce(
             packed, config, o_c, d_c, al_eff,
-            jnp.asarray(N, jnp.int32),
+            jnp.asarray(N, jnp.int32), shadows=False,
         )
         bt, bid = _merge(bt, bid, t_s, ids_s)
         state = lax.ppermute((o_c, d_c, al_c, bt, bid, tm), axis, perm)
@@ -127,19 +130,12 @@ def _ring_closest(packed, config, o, d, alive, axis, n, tmax=None):
 
 
 def _hit_frame(scene_sg, o, d, ids, T):
-    """Differentiation-free hit geometry for ray continuation / shadows."""
-    from tpurt.core import vec
-    from tpurt.shading.deferred import _hit_geometry, _recompute_tuv
+    """Differentiation-free hit geometry for ray continuation / shadows —
+    the single continuation convention lives in traversal._continue_rays."""
+    from tpurt.kernels.traversal import _continue_rays
 
-    miss = ids < 0
-    is_tri = (~miss) & (ids < T)
-    prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
-    t, u, v = _recompute_tuv(scene_sg, o, d, prim, is_tri)
-    p, n, mat = _hit_geometry(scene_sg, o, d, t, prim, is_tri, u, v)
-    p_off = p + n * C.RAY_OFFSET_EPS
-    refl_dir = vec.reflect(d, n)
-    refl = scene_sg.materials.reflectivity[mat]
-    return p, p_off, refl_dir, (~miss) & (refl > 0.0)
+    p_off, refl_dir, alive, p = _continue_rays(scene_sg, o, d, ids, T)
+    return p, p_off, refl_dir, alive
 
 
 def _render_slab_ring(scene, config, tri_ids_loc, row0, nrows, axis, n):

@@ -88,7 +88,7 @@ def _rows_per_device(height: int, n: int) -> int:
     return -(-height // n)
 
 
-@partial(jax.jit, static_argnames=("config", "mesh", "axis", "row0", "nrows"))
+@partial(jax.jit, static_argnames=("config", "mesh", "axis", "nrows"))
 def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXIS,
                    plan=None, row0: int = 0, nrows: int | None = None):
     """Render rows [row0, row0+nrows) (default: the full image)
@@ -98,7 +98,10 @@ def render_sharded(scene, config: RenderConfig, mesh: Mesh, axis: str = TILE_AXI
     identical to the single-device render (each slab computes NDC against
     the full image height) — the determinism property SURVEY.md §4 item 4
     tests.  The row window lets resumable/chunked rendering
-    (dist/failsafe.py) shard each chunk over the same mesh.
+    (dist/failsafe.py) shard each chunk over the same mesh; `row0` is
+    TRACED (every backend takes it as a device scalar) so chunks at
+    different offsets share one compilation — with 1–6 min remote Mosaic
+    compiles, a static row0 would charge a full recompile per chunk.
     """
     n = mesh.shape[axis]
     total = config.height if nrows is None else nrows

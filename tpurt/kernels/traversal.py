@@ -429,9 +429,21 @@ def _trav_kernel(
         )                                             # (1, C_pad)
         brow = lax.broadcasted_iota(jnp.int32, (KB, C_pad), 0)
         okb = (brow == buck) & ok0                    # (KB, C_pad)
-        # bucket entry thresholds as order-preserving int keys → lanes 0..KB
+        # bucket entry thresholds as order-preserving int keys → lanes
+        # 0..KB.  The threshold must be a LOWER bound on every member's
+        # entry for the t-termination skip to be exact; the arithmetic
+        # form emin + k·(span/KB) is NOT one (the multiply-truncate bucket
+        # assignment and the threshold recompute round differently, so a
+        # boundary cluster can land in bucket k with entry an ulp below
+        # the recomputed threshold).  Use the masked per-bucket MIN of the
+        # actual entries — exact by construction and tighter (gates fire
+        # earlier).  Empty buckets get _BIG (skipped; their index range is
+        # empty anyway).
         lane_i = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        thr = emin + lane_i.astype(f32) * (span / KB)
+        thr = jnp.full((1, LANES), _BIG, f32)
+        for k in range(KB):
+            mk = jnp.min(jnp.where(okb[k : k + 1, :], entry0, _BIG))
+            thr = jnp.where(lane_i == k, mk, thr)
         keyv[0:1, :] = fkey(thr)
 
         # word-packed compaction: a serial scan of all C_pad lanes on the
@@ -1332,7 +1344,7 @@ def _continue_rays(scene_sg, o, d, ids, T):
     d2 = vec.reflect(d, n)
     refl = scene_sg.materials.reflectivity[mat]
     alive = (~miss) & (refl > 0.0)
-    return o2, d2, alive
+    return o2, d2, alive, p
 
 
 def _wavefront_records(scene, config, packed, row0, nrows):
@@ -1428,7 +1440,7 @@ def _wavefront_records(scene, config, packed, row0, nrows):
         return (~miss) & (scene_sg.materials.reflectivity[mat] > 0.0)
 
     def bounce(o, d, ids, alive, n_live):
-        o, d, _ = _continue_rays(scene_sg, o, d, ids, T)
+        o, d, _, _ = _continue_rays(scene_sg, o, d, ids, T)
         key = _bin_key(o, d, lo, hi, alive)
         perm = jnp.argsort(key)
         inv = jnp.argsort(perm)

@@ -141,7 +141,16 @@ def load_pytree(path, like=None):
     with np.load(path, allow_pickle=False) as z:
         spec = json.loads(bytes(z["__spec__"].tobytes()).decode("utf-8"))
         leaves = [z[f"leaf_{i}"] for i in range(len(z.files) - 1)]
+        # ALWAYS rebuild through the spec: the npz leaf order is the spec's
+        # (dict keys str-sorted, python scalars inline), which differs from
+        # jax.tree_util's flatten order (keys sorted by value, scalars as
+        # leaves) — unflattening raw npz leaves into like's treedef would
+        # silently permute int-keyed dict entries.  `like`, when given,
+        # only validates/adopts the target structure via a jax-order
+        # reflatten of the reconstructed tree.
+        tree = _from_spec(spec, leaves)
         if like is not None:
             treedef = jax.tree_util.tree_structure(like)
-            return jax.tree_util.tree_unflatten(treedef, leaves)
-        return _from_spec(spec, leaves)
+            return jax.tree_util.tree_unflatten(
+                treedef, jax.tree_util.tree_leaves(tree))
+        return tree
