@@ -33,7 +33,8 @@ TPURT_CONE_CULL=0 run bench_c5_fwd_nocone 5400 python bench.py --config 5 --res 
 run ablate_bwd_c5 5400 python scripts/ablate_bwd.py --config 5
 run ablate_bwd_c4 3600 python scripts/ablate_bwd.py --config 4
 
-# 4. material segsum A/B
-TPURT_MAT_SEGSUM=0 run ablate_bwd_c5_noseg 5400 python scripts/ablate_bwd.py --config 5
+# 4. material / texel segsum A/Bs
+TPURT_MAT_SEGSUM=0 run ablate_bwd_c5_nomatseg 5400 python scripts/ablate_bwd.py --config 5
+TPURT_TEX_SEGSUM=1 run ablate_bwd_c5_texseg 5400 python scripts/ablate_bwd.py --config 5
 
 echo "SWEEP DONE $(date)" | tee -a "$OUT/sweep.log"

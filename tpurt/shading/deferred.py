@@ -37,6 +37,57 @@ from tpurt.core.types import pytree_dataclass
 #: instead of an N-row scatter-add into M rows (A/B constant, trace time)
 MAT_SEGSUM = os.environ.get("TPURT_MAT_SEGSUM", "1") != "0"
 
+#: backward of the texel quad-table gather as a FACTORED one-hot matmul:
+#: dquad[r, c, k] = Σ_n Y[n,r]·X[n,c]·cot[n,k] with Y/X one-hots over the
+#: (texture-row, texel-column) split — ~12·N·64 f32 of matmul traffic vs a
+#: 2M-update scatter-add.  Default OFF until the scatter is measured on
+#: the real chip (scripts/tpu_sweep.sh)
+TEX_SEGSUM = os.environ.get("TPURT_TEX_SEGSUM", "0") != "0"
+
+
+@jax.custom_vjp
+def _gather_quad_factored(quad3, ridx, cidx):
+    """Gather rows of a (R, C, K) table by (row, col) index pair; the
+    transpose runs as K factored one-hot matmuls on the MXU instead of an
+    N-update scatter-add onto R·C rows.  Forward is the plain joint-index
+    gather (bit-identical values); backward products are 0·x/1·x exact at
+    f32 HIGHEST, so gradients differ from scatter-add only in accumulation
+    order (allclose)."""
+    R, Cc, K = quad3.shape
+    return quad3.reshape(R * Cc, K)[ridx * Cc + cidx]
+
+
+def _gather_quad_factored_fwd(quad3, ridx, cidx):
+    return _gather_quad_factored(quad3, ridx, cidx), (
+        ridx, cidx, quad3.shape)
+
+
+def _gather_quad_factored_bwd(res, cot):
+    ridx, cidx, (R, Cc, K) = res
+    cotf = cot.reshape(-1, K)
+    rf = ridx.reshape(-1)
+    cf = cidx.reshape(-1)
+    Y = (rf[:, None] == jnp.arange(R, dtype=rf.dtype)[None, :]).astype(
+        cotf.dtype)                                   # (N, R)
+    X = (cf[:, None] == jnp.arange(Cc, dtype=cf.dtype)[None, :]).astype(
+        cotf.dtype)                                   # (N, C)
+    planes = []
+    for k in range(K):
+        yk = Y * cotf[:, k : k + 1]
+        planes.append(
+            lax.dot_general(
+                yk, X, (((0,), (0,)), ((), ())),
+                precision=lax.Precision.HIGHEST,
+            )
+        )                                             # (R, C)
+    dq = jnp.stack(planes, axis=-1)                   # (R, C, K)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    return dq, f0(ridx), f0(cidx)
+
+
+_gather_quad_factored.defvjp(
+    _gather_quad_factored_fwd, _gather_quad_factored_bwd)
+
 
 @jax.custom_vjp
 def _gather_small(table, idx):
@@ -319,7 +370,11 @@ def _sample_texture_flat(scene, tex_id, uv):
     ).reshape(nt * th * tw, 12)
     xi = jnp.mod(x0.astype(jnp.int32), tw)
     yi = jnp.mod(y0.astype(jnp.int32), th)
-    q = quad[tid * (th * tw) + yi * tw + xi]          # (N, 12)
+    if TEX_SEGSUM:
+        q = _gather_quad_factored(
+            quad.reshape(nt * th, tw, 12), tid * th + yi, xi)
+    else:
+        q = quad[tid * (th * tw) + yi * tw + xi]      # (N, 12)
     col = (
         q[..., 0:3] * (1 - fx) * (1 - fy)
         + q[..., 3:6] * fx * (1 - fy)
