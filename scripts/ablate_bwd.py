@@ -43,15 +43,24 @@ H, W = cfg.height, cfg.width
 N = H * W
 T = scene.n_tris
 
-o, d = geom.generate_rays(scene.camera, H, W, 0, H)
-o = o.reshape(-1, 3)
-d = d.reshape(-1, 3)
-
+# Records are passed as JIT ARGUMENTS and rays are generated INSIDE the
+# jitted functions, mirroring the real render path.  Closing over (N, 3)
+# / (N, 1) host constants embeds them as XLA constant literals, which the
+# TPU backend materializes with (8, 128) lane tiling — 42–128× padding,
+# ~1 GB each at 1080p; the c5 ablation OOM'd the AOT compiler at 30 GB
+# before this restructure (the real path never materializes them: ray-gen
+# output fuses straight into the shading consumers).
 key = jax.random.PRNGKey(0)
 prim = jax.random.randint(key, (1, N), 0, T)
 is_tri = jnp.ones((1, N), bool)
 occ = jax.random.randint(key, (1, N), 0, 4)
 recs = D.HitRecords(prim=prim, is_tri=is_tri, occ=occ)
+recs = jax.device_put(recs)
+
+
+def rays():
+    o, d = geom.generate_rays(scene.camera, H, W, 0, H)
+    return o.reshape(-1, 3), d.reshape(-1, 3)
 
 
 def fetch(x):
@@ -72,13 +81,18 @@ def bench(name, fn, *a):
     return dt
 
 
-def loss(s):
-    img = D.shade_from_records(s, o, d, recs, cfg.max_depth, True)
+def loss(s, r):
+    o, d = rays()
+    img = D.shade_from_records(s, o, d, r, cfg.max_depth, True)
     return jnp.sum(img * img)
 
 
-shade_fwd = jax.jit(lambda s: D.shade_from_records(s, o, d, recs,
-                                                   cfg.max_depth, True))
+def _fwd(s, r):
+    o, d = rays()
+    return D.shade_from_records(s, o, d, r, cfg.max_depth, True)
+
+
+shade_fwd = jax.jit(_fwd)
 shade_bwd = jax.jit(jax.grad(loss, allow_int=True))
 
 
@@ -86,7 +100,7 @@ def restrict(names):
     """grad flowing only to the named leaves (others stop_gradient'ed)."""
     sg = jax.lax.stop_gradient
 
-    def f(s):
+    def f(s, r):
         kw = {}
         for fld in ("vertices", "vnormals", "uvs", "textures", "light_pos",
                     "light_color"):
@@ -94,18 +108,18 @@ def restrict(names):
                 kw[fld] = sg(getattr(s, fld))
         if "materials" not in names:
             kw["materials"] = sg(s.materials)
-        return loss(s.replace(**kw))
+        return loss(s.replace(**kw), r)
 
     return jax.jit(jax.grad(f, allow_int=True))
 
 
-bench("shade_fwd", shade_fwd, scene)
-bench("shade_bwd (all leaves)", shade_bwd, scene)
-bench("bwd_verts", restrict({"vertices", "vnormals"}), scene)
+bench("shade_fwd", shade_fwd, scene, recs)
+bench("shade_bwd (all leaves)", shade_bwd, scene, recs)
+bench("bwd_verts", restrict({"vertices", "vnormals"}), scene, recs)
 if scene.textured:
-    bench("bwd_tex", restrict({"textures", "uvs"}), scene)
+    bench("bwd_tex", restrict({"textures", "uvs"}), scene, recs)
 bench("bwd_mats+lights", restrict({"materials", "light_pos", "light_color"}),
-      scene)
+      scene, recs)
 
 from tpurt.kernels.packc import pack_clusters
 from tpurt.render import prepare

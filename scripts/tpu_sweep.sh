@@ -25,9 +25,11 @@ run bench_c5_fwd    5400 python bench.py --config 5 --res 1080x1920 --mode fwd
 run bench_c4_fwdbwd 3600 python bench.py --config 4 --res 1024x1024 --mode fwdbwd
 run bench_c5_fwdbwd 5400 python bench.py --config 5 --res 1080x1920 --mode fwdbwd
 
-# 2. cone-cull A/B (flag read at trace time; separate processes)
-TPURT_CONE_CULL=0 run bench_c4_fwd_nocone 3600 python bench.py --config 4 --res 1024x1024 --mode fwd
-TPURT_CONE_CULL=0 run bench_c5_fwd_nocone 5400 python bench.py --config 5 --res 1080x1920 --mode fwd
+# 2. cone-cull A/B (flag read at trace time; separate processes).
+#    Default is now OFF (measured loser at production res, 2026-08-19);
+#    the A/B keeps checking the ON side in case scene shapes change.
+TPURT_CONE_CULL=1 run bench_c4_fwd_cone 3600 python bench.py --config 4 --res 1024x1024 --mode fwd
+TPURT_CONE_CULL=1 run bench_c5_fwd_cone 5400 python bench.py --config 5 --res 1080x1920 --mode fwd
 
 # 3. backward decomposition (scatter costs)
 run ablate_bwd_c5 5400 python scripts/ablate_bwd.py --config 5

@@ -64,7 +64,8 @@ NCH = 4
 NCH_SHADOW = 8
 #: cluster count above which the wavefront path traces shadows in the
 #: re-binned shadow kernel (measured crossover — see _wavefront_records)
-SHADOW_REBIN_MIN_CLUSTERS = 2048
+SHADOW_REBIN_MIN_CLUSTERS = int(
+    os.environ.get("TPURT_SHADOW_REBIN_MIN_CLUSTERS", "2048"))
 #: shadow-pass survivor emission order: True streams far-from-light (=
 #: near-the-surface) clusters first — contact geometry is the likeliest
 #: occluder, so per-chunk saturation exits earlier (A/B constant)
@@ -89,8 +90,12 @@ KB = 4
 #: trace time): AND a conservative sphere-vs-cone test into every cull —
 #: the slab test's per-axis interval relaxation admits corner directions
 #: no real ray points at; the cone trims them for point-apex bundles
-#: (primary tiles, reversed shadow culls)
-CONE_CULL = os.environ.get("TPURT_CONE_CULL", "1") != "0"
+#: (primary tiles, reversed shadow culls).  Default OFF: measured on the
+#: chip at production res it is dead-even on config 4 (146.16 vs
+#: 146.34 ms) and 1.5% SLOWER on config 5 (515.96 vs 508.28 ms) — the
+#: extra per-cluster VPU work outweighs the interval-mixing slack it
+#: trims (docs/design.md geometry note predicted exactly this)
+CONE_CULL = os.environ.get("TPURT_CONE_CULL", "0") != "0"
 _BIG = 3.0e37
 
 
