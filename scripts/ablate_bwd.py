@@ -23,6 +23,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpurt_jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "5")
 
 import argparse
+import dataclasses
 
 import jax
 import jax.numpy as jnp
@@ -33,9 +34,22 @@ from tpurt.shading import deferred as D
 
 ap = argparse.ArgumentParser()
 ap.add_argument("--config", type=int, default=5)
+ap.add_argument("--res", type=str, default=None,
+                help="HxW override (default: the config's production res)")
+ap.add_argument("--cpu", action="store_true", help="smoke-test on CPU")
 args = ap.parse_args()
 
-if args.config == 5:
+if args.cpu:
+    jax.config.update("jax_platforms", "cpu")
+
+if args.res is not None:
+    h, w = (int(x) for x in args.res.split("x"))
+    if args.config == 5:
+        scene, cfg = configs.config5_multimesh(height=h, width=w,
+                                               n_blobs=2, subdiv=3)
+    else:
+        scene, cfg = configs.ALL_CONFIGS[args.config](h, w)
+elif args.config == 5:
     scene, cfg = configs.config5_multimesh(height=1080, width=1920)
 else:
     scene, cfg = configs.ALL_CONFIGS[args.config](1024, 1024)
@@ -81,10 +95,33 @@ def bench(name, fn, *a):
     return dt
 
 
+# The grad functions shade in checkpointed row slabs: the standalone vjp
+# at full 1080p compiles to ~22 GB of HLO temps (every (N, 12) residual
+# lane-pads 12→128), where the REAL fwd+bwd graph fits — the traversal
+# kernel between ray-gen and shading gives XLA's remat/compression pass
+# cheap recompute roots the standalone graph lacks.  jax.checkpoint per
+# slab restores that property explicitly; the bwd numbers therefore
+# include one slab-recompute of the forward (~shade_fwd/8 per slab),
+# which is uniform across the leaf-restricted variants being compared.
+SLABS = 8
+assert H % SLABS == 0
+ROWS_SLAB = H // SLABS
+NS = ROWS_SLAB * W
+
+
 def loss(s, r):
-    o, d = rays()
-    img = D.shade_from_records(s, o, d, r, cfg.max_depth, True)
-    return jnp.sum(img * img)
+    from jax import lax
+
+    @jax.checkpoint
+    def slab(k, s):
+        o, d = geom.generate_rays(s.camera, H, W, k * ROWS_SLAB, ROWS_SLAB)
+        sl = lambda a: lax.dynamic_slice_in_dim(a, k * NS, NS, axis=1)
+        rk = D.HitRecords(prim=sl(r.prim), is_tri=sl(r.is_tri), occ=sl(r.occ))
+        img = D.shade_from_records(s, o.reshape(-1, 3), d.reshape(-1, 3),
+                                   rk, cfg.max_depth, True)
+        return jnp.sum(img * img)
+
+    return jnp.sum(lax.map(lambda k: slab(k, s), jnp.arange(SLABS)))
 
 
 def _fwd(s, r):
@@ -108,7 +145,7 @@ def restrict(names):
                 kw[fld] = sg(getattr(s, fld))
         if "materials" not in names:
             kw["materials"] = sg(s.materials)
-        return loss(s.replace(**kw), r)
+        return loss(dataclasses.replace(s, **kw), r)
 
     return jax.jit(jax.grad(f, allow_int=True))
 

@@ -34,8 +34,14 @@ from tpurt.core import geom, vec
 from tpurt.core.types import pytree_dataclass
 
 #: backward of the material-table row gather as a one-hot MXU matmul
-#: instead of an N-row scatter-add into M rows (A/B constant, trace time)
-MAT_SEGSUM = os.environ.get("TPURT_MAT_SEGSUM", "1") != "0"
+#: instead of an N-row scatter-add into M rows (A/B constant, trace time).
+#: Default OFF: measured config5 @1080p fwdbwd 943.9 ms with the plain
+#: scatter vs 967.3/961.1 ms with the one-hot matmul (reproduced twice) —
+#: at M=4 material rows the (N, M) one-hot build + HIGHEST matmul costs
+#: more than the tiny scatter it replaces.  TEX_SEGSUM=1 alone measured
+#: 948.5 ms, but COMBINED with MAT_SEGSUM=0 it regresses to 1030.8 ms
+#: (reproduced) — do not enable both.
+MAT_SEGSUM = os.environ.get("TPURT_MAT_SEGSUM", "0") != "0"
 
 #: backward of the texel quad-table gather as a FACTORED one-hot matmul:
 #: dquad[r, c, k] = Σ_n Y[n,r]·X[n,c]·cot[n,k] with Y/X one-hots over the
@@ -43,6 +49,42 @@ MAT_SEGSUM = os.environ.get("TPURT_MAT_SEGSUM", "1") != "0"
 #: 2M-update scatter-add.  Default OFF until the scatter is measured on
 #: the real chip (scripts/tpu_sweep.sh)
 TEX_SEGSUM = os.environ.get("TPURT_TEX_SEGSUM", "0") != "0"
+#: backward of the per-triangle shadepack gather as a SORTED segment-sum:
+#: the hit topology is fixed (stop_gradient ints), so the forward graph
+#: can afford an argsort of the 2M pids; the transpose then permutes the
+#: cotangent rows (a gather) and segment-sums runs of equal pid with
+#: indices_are_sorted=True, instead of scatter-adding 2M random rows into
+#: the (T, 25) table.  The bwd ablation (scripts/ablate_bwd.py, config 5)
+#: put everything touching this scatter at ~1.6 s slabbed vs 0.23 s for
+#: scatter-free leaves — this is THE deferred-bwd lever.  A/B flag.
+SORTED_SCATTER = os.environ.get("TPURT_SORTED_SCATTER", "0") != "0"
+
+
+@jax.custom_vjp
+def _gather_rows_sorted(table, idx, order):
+    """Row gather whose transpose scatter-adds in SORTED pid order.
+    `order` must be argsort(idx) (precomputed in the forward graph from
+    the stop_gradient'ed topology).  Forward is the plain gather
+    (bit-identical); backward differs from the naive scatter only in
+    accumulation order (allclose, not bit-equal)."""
+    return table[idx]
+
+
+def _gather_rows_sorted_fwd(table, idx, order):
+    return table[idx], (idx, order, table.shape[0])
+
+
+def _gather_rows_sorted_bwd(res, cot):
+    idx, order, T = res
+    cotf = cot.reshape(-1, cot.shape[-1])
+    ids = idx.reshape(-1)[order]
+    dtab = jax.ops.segment_sum(
+        cotf[order], ids, num_segments=T, indices_are_sorted=True)
+    f0 = lambda a: np.zeros(a.shape, dtype=jax.dtypes.float0)  # noqa: E731
+    return dtab, f0(idx), f0(order)
+
+
+_gather_rows_sorted.defvjp(_gather_rows_sorted_fwd, _gather_rows_sorted_bwd)
 
 
 @jax.custom_vjp
@@ -227,7 +269,11 @@ def _gather_shaderows(scene, pid, pack):
     """The one wide row gather per (pixel, depth): → (tri_rows, nrm_rows,
     uv_rows, mat) with statically-sliced columns (None where the scene has
     no such attribute); mat is the triangle's material id, int32."""
-    g = pack[pid]
+    if SORTED_SCATTER:
+        order = jnp.argsort(lax.stop_gradient(pid).reshape(-1))
+        g = _gather_rows_sorted(pack, pid, order)
+    else:
+        g = pack[pid]
     tri_rows = (g[..., 0:3], g[..., 3:6], g[..., 6:9])
     k = 9
     nrm_rows = None
