@@ -31,10 +31,60 @@ def count_rays(cfg, scene) -> int:
     Fixed convention across rounds so Mrays/s ratios equal frame-time
     ratios.  Since round 2 the kernels kill dead paths (zero-reflectivity
     hits) and skip empty wavefront tiles, so ACTUAL traced rays can be
-    fewer; ms/frame (stderr) is the ground-truth cost of a frame.
+    fewer — count_rays_traced() measures those; ms/frame (stderr) is the
+    ground-truth cost of a frame.
     """
     per_bounce = 1 + (scene.n_lights if cfg.shadows else 0)
     return cfg.height * cfg.width * (cfg.max_depth + 1) * per_bounce
+
+
+def count_rays_traced(cfg, scene, plan) -> int:
+    """Rays the compiled program actually traces (VERDICT r2 item 5).
+
+    Phase-1/oracle paths compute every lane every depth (alive-masked but
+    resident), so traced == nominal there.  The clustered wavefront path
+    deletes work three ways — static depth cap, per-bounce live-ray
+    compaction, shadow rays only from actual hits — so for it we count:
+    pixels (bounce-0 closest) + Σ_b live rays entering bounce b + n_lights ×
+    Σ_b hits at depth b.  Counts are reduced on-device (never fetch big
+    arrays through the tunnel).
+    """
+    if plan.kind != "clusters":
+        return count_rays(cfg, scene)
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from tpurt.kernels import traversal as TV
+    from tpurt.kernels.packc import pack_clusters
+    from tpurt.render import cap_depth
+
+    cfgc = cap_depth(cfg, plan)
+
+    @jax.jit
+    def counts(s):
+        packed = pack_clusters(s, plan.tri_ids)
+        if cfgc.wavefront and cfgc.max_depth > 0:
+            ids, _ = TV._wavefront_records(s, cfgc, packed, 0, cfgc.height)
+        else:
+            ids, _, _, _ = TV.trace_records(packed, cfgc, 0, cfgc.height)
+            ids = TV._untile(ids, cfgc.height, cfgc.width)
+        ids = ids.reshape(cfgc.max_depth + 1, -1)
+        hit = ids >= 0
+        hits = hit.sum(axis=-1)                      # hits per depth
+        T = s.n_tris
+        is_tri = hit & (ids < T)
+        tid = jnp.clip(ids, 0, max(T - 1, 0))
+        sid = jnp.clip(ids - T, 0, max(s.n_spheres - 1, 0))
+        mat = jnp.where(is_tri, s.tri_mat[tid], s.sph_mat[sid])
+        live = hit & (s.materials.reflectivity[mat] > 0.0)
+        return hits, live.sum(axis=-1)               # continuations per depth
+
+    hits, live = (np.asarray(x) for x in counts(scene))
+    n_pix = cfg.height * cfg.width
+    closest = n_pix + int(live[:-1].sum()) if len(live) > 1 else n_pix
+    shadow = int(hits.sum()) * scene.n_lights if cfgc.shadows else 0
+    return closest + shadow
 
 
 def run_verify() -> int:
@@ -159,6 +209,10 @@ def main():
                     help="override max_depth (pass-cost breakdown)")
     ap.add_argument("--no-shadows", action="store_true")
     ap.add_argument("--no-wavefront", action="store_true")
+    ap.add_argument("--mesh", type=int, default=None, metavar="N",
+                    help="render tile-parallel over an N-device mesh via "
+                    "dist.render_sharded (the multi-chip scaling command, "
+                    "BASELINE.json:2; on 1-chip hardware use N=1)")
     args = ap.parse_args()
 
     if args.verify:
@@ -191,7 +245,24 @@ def main():
     plan = prepare(scene, cfg)
     print(f"[bench] plan={plan.kind}", file=sys.stderr)
 
-    if args.mode == "fwd":
+    if args.mesh is not None:
+        from tpurt.dist.shard import make_mesh, render_sharded
+
+        n_dev = len(jax.devices())
+        if args.mesh > n_dev:
+            print(f"[bench] --mesh {args.mesh} > {n_dev} device(s) available",
+                  file=sys.stderr)
+            sys.exit(2)
+        mesh = make_mesh(args.mesh)
+        print(f"[bench] mesh={mesh.shape}", file=sys.stderr)
+        if args.mode == "fwd":
+            fn = jax.jit(lambda s: render_sharded(s, cfg, mesh, plan=plan))
+        else:
+            def loss_m(s):
+                return jnp.sum(render_sharded(s, cfg, mesh, plan=plan) ** 2)
+
+            fn = jax.jit(lambda s: jax.grad(loss_m, allow_int=True)(s))
+    elif args.mode == "fwd":
         fn = jax.jit(lambda s: render(s, cfg, plan=plan))
     else:
         def loss(s):
@@ -223,16 +294,24 @@ def main():
     fetch(out)
     dt = (time.time() - t0) / args.iters
     rays = count_rays(cfg, scene)
+    traced = count_rays_traced(cfg, scene, plan)
     mrays = rays / dt / 1e6
-    print(f"[bench] {dt*1e3:.2f} ms/frame over {args.iters} chained iters", file=sys.stderr)
+    mrays_traced = traced / dt / 1e6
+    print(f"[bench] {dt*1e3:.2f} ms/frame over {args.iters} chained iters; "
+          f"rays nominal={rays} traced={traced}", file=sys.stderr)
 
     print(
         json.dumps(
             {
                 "metric": f"Mrays/s/chip {args.mode} config{args.config} {h}x{w}",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s",
+                "value": round(mrays_traced, 2),
+                "unit": "Mrays/s (traced rays)",
                 "vs_baseline": None,
+                "mrays_nominal": round(mrays, 2),
+                "rays_nominal": rays,
+                "rays_traced": traced,
+                "ms_per_frame": round(dt * 1e3, 2),
+                "mesh": args.mesh,
             }
         )
     )

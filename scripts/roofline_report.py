@@ -67,9 +67,8 @@ stats = np.asarray(jax.jit(
     lambda pk: trace_records(pk, cfg, 0, cfg.height, max_depth=0)[3]
 )(packed))
 # rows: emitted, passes, overflows, streamed, chunk-epilogues
-passes = max(1, int(stats[1].max()))
 streamed = float(stats[3].sum())
-surv = streamed / stats[1].sum()
+surv = streamed / max(1, int(stats[1].sum()))
 chunk_frac = float(stats[4].sum()) / max(1.0, streamed * NCH)
 
 rep = roofline.report(

@@ -71,3 +71,50 @@ def test_scene_defaults_and_empty():
     s = build_scene()
     img = np.asarray(render(s, RenderConfig(height=8, width=8, max_depth=0)))
     assert np.isfinite(img).all()
+
+
+def _import_bench():
+    import importlib
+    import pathlib
+    import sys
+
+    root = str(pathlib.Path(__file__).resolve().parent.parent)
+    if root not in sys.path:
+        sys.path.insert(0, root)
+    return importlib.import_module("bench")
+
+
+def test_bench_mesh_smoke(monkeypatch, capsys):
+    """`bench.py --mesh N` must route through render_sharded so the
+    multi-chip scaling table (BASELINE.json:2) is one command away the day
+    hardware exists (VERDICT r2 item 7).  Exercised on the 8-CPU mesh."""
+    import sys
+
+    bench = _import_bench()
+    monkeypatch.setattr(sys, "argv", [
+        "bench.py", "--config", "2", "--res", "16x16", "--mesh", "2",
+        "--iters", "1", "--warmup", "1"])
+    bench.main()
+    out = capsys.readouterr().out.strip().splitlines()[-1]
+    j = json.loads(out)
+    assert j["mesh"] == 2
+    assert j["value"] > 0
+    assert j["rays_traced"] <= j["rays_nominal"]
+
+
+def test_count_rays_traced_clusters():
+    """Honest ray accounting (VERDICT r2 item 5): on a depth-capped
+    clustered scene the traced count is pixels + hits×lights, strictly
+    below the nominal pixels×(1+lights) convention."""
+    bench = _import_bench()
+    scene, cfg = configs.config4_bunny(32, 32, subdiv=4)
+    plan = prepare(scene, cfg)
+    assert plan.kind == "clusters"
+    nominal = bench.count_rays(cfg, scene)
+    traced = bench.count_rays_traced(cfg, scene, plan)
+    n_pix = cfg.height * cfg.width
+    assert n_pix <= traced < nominal
+    # phase-1 scenes trace every lane: traced == nominal
+    s1, c1 = configs.config1_sphere(16, 16)
+    p1 = prepare(s1, c1)
+    assert bench.count_rays_traced(c1, s1, p1) == bench.count_rays(c1, s1)

@@ -105,3 +105,33 @@ def test_grad_no_nans_all_targets_config3():
     for leaf in jax.tree_util.tree_leaves(grads):
         if np.issubdtype(np.asarray(leaf).dtype, np.floating):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_sorted_scatter_grads_match_naive(monkeypatch):
+    """TPURT_SORTED_SCATTER contract (ADVICE r2): the sorted segment-sum
+    backward of the shadepack gather must be allclose to the naive
+    scatter-add on a small textured clustered scene, and `order` must be
+    argsort(pid) — violated preconditions would silently corrupt grads."""
+    from tpurt.render import prepare, render_and_grad
+    from tpurt.shading import deferred
+
+    scene, cfg = configs.config5_multimesh(24, 32, n_blobs=2, subdiv=4)
+    plan = prepare(scene, cfg)
+    assert plan.kind == "clusters"
+
+    def run():
+        (_, _), grads = render_and_grad(
+            scene, lambda im: jnp.sum(im**2), cfg, plan=plan)
+        return grads
+
+    monkeypatch.setattr(deferred, "SORTED_SCATTER", False)
+    g_naive = run()
+    monkeypatch.setattr(deferred, "SORTED_SCATTER", True)
+    g_sorted = run()
+    for leaf in ("vertices", "textures", "light_color"):
+        a = np.asarray(getattr(g_naive, leaf))
+        b = np.asarray(getattr(g_sorted, leaf))
+        assert np.isfinite(b).all(), leaf
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-6 * max(1.0, np.abs(a).max()),
+            err_msg=leaf)
