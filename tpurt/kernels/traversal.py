@@ -51,17 +51,26 @@ from tpurt.kernels.megakernel import (
 )
 from tpurt.kernels.packc import LANES, TROWS, PackedClusters
 
-RAYS = 1024
+#: rays per kernel tile (A/B constant, read at import).  The r2 roofline
+#: re-read (docs/design.md) showed the kernel LATENCY-bound at ~27 µs/tile
+#: of pass setup + DMA issue + scalar compaction — essentially ALL of the
+#: b0 time at 3.5 survivors/tile — so fatter tiles amortize the fixed cost
+#: near-linearly as long as the wider frustum doesn't blow up survivors
+#: (measure via traversal_stats before trusting a new size).
+RAYS = int(os.environ.get("TPURT_RAYS", "1024"))
+assert RAYS in (1024, 2048, 4096), RAYS
 #: rays per compute sub-chunk: surviving clusters are intersected per chunk,
-#: gated by the chunk's own cull bit — quarter-tile culling w/o extra DMA.
-#: NCH=8 (128-ray chunks) measured SLOWER for pixel/bounce tiles
-#: (cfg4 26.9→23.1, cfg5 6.9→6.8): sub-cones of a coherent tile still cull
-#: the same clusters, so finer bits only add mask rows + scalar reads —
-#: see docs/design.md.  The SHADOW kernel (mode 2) uses NCH_SHADOW=8:
-#: its chunks are disjoint Morton sub-cells, whose light cones genuinely
-#: differ, so finer bits thin the streamed compute
-NCH = 4
-NCH_SHADOW = 8
+#: gated by the chunk's own cull bit — sub-tile culling w/o extra DMA.
+#: Chunk GRANULARITY is held at 256 rays as RAYS scales (the measured
+#: optimum at 1024: NCH=8 i.e. 128-ray chunks was SLOWER for pixel/bounce
+#: tiles — cfg4 26.9→23.1, cfg5 6.9→6.8 — because sub-cones of a coherent
+#: tile still cull the same clusters; see docs/design.md).  The SHADOW
+#: kernel (mode 2) holds 128-ray chunks (NCH_SHADOW=8 at 1024): its chunks
+#: are disjoint Morton sub-cells, whose light cones genuinely differ, so
+#: finer bits thin the streamed compute.  Both capped at 16 chunk bits
+#: (int32 bit ops in the saturation mask).
+NCH = min(RAYS // 256, 16)
+NCH_SHADOW = min(RAYS // 128, 16)
 #: cluster count above which the wavefront path traces shadows in the
 #: re-binned shadow kernel (measured crossover — see _wavefront_records)
 SHADOW_REBIN_MIN_CLUSTERS = int(
@@ -75,8 +84,8 @@ SHADOW_NEAR_FIRST = True
 #: conservative interval cull selective — a full-image-width row of rays
 #: fans across the whole horizontal FOV and culls almost nothing (measured:
 #: 28.5 s/frame row-tiled vs sub-second square-tiled on config 4).
-TILE_H = 32
-TILE_W = 32
+TILE_H = {1024: 32, 2048: 32, 4096: 64}[RAYS]
+TILE_W = RAYS // TILE_H
 #: survivor-list capacity (SMEM); overflowing tiles fall back to streaming
 #: every cluster (correct, slow) — see `sovf`.  4096 retires the fallback
 #: for config 5's 8k clusters (35 of 2040 tiles overflowed at 2048, each
@@ -265,11 +274,14 @@ def _trav_kernel(
         )
 
     # ---- conservative interval cull (clusters in lanes) -------------------
-    # Row 0 tests the whole tile's ray bundle (→ the DMA survivor list);
-    # rows 1..nch test RCH-ray sub-chunks (→ per-chunk compute-skip bits in
-    # the streaming loop).  All rows ride in sublanes, so the sub-chunk
-    # tests are nearly free on the VPU.
-    GRPS = 1 + nch
+    # Every row tests one RCH-ray sub-chunk; the DMA survivor list is the
+    # UNION of the chunk rows (r3) — strictly tighter than the historical
+    # whole-tile interval test (each chunk's frustum is narrow; the whole
+    # bundle's per-axis intervals mix across the tile), which is what made
+    # fatter tiles blow up survivors (RAYS=2048/4096 measured 1.4× slower
+    # with the whole-tile list; see design.md).  All rows ride in sublanes,
+    # so the cull stays nearly free on the VPU.
+    GRPS = nch
 
     grow = lax.broadcasted_iota(jnp.int32, (GRPS, 1), 0)
 
@@ -294,14 +306,10 @@ def _trav_kernel(
         light."""
 
         def bounds(x, lo):
-            """Per-group masked min/max of a (1, R) row → GRPS scalars."""
+            """Per-chunk masked min/max of a (1, R) row → GRPS scalars."""
             vals = []
             for g in range(GRPS):
-                sl = (
-                    slice(None)
-                    if g == 0
-                    else slice((g - 1) * RCH, g * RCH)
-                )
+                sl = slice(g * RCH, (g + 1) * RCH)
                 xm = jnp.where(alive[:, sl], x[:, sl], _BIG if lo else -_BIG)
                 vals.append(jnp.min(xm) if lo else jnp.max(xm))
             return vals
@@ -310,7 +318,7 @@ def _trav_kernel(
         exit_ = jnp.full((GRPS, C_pad), _BIG, f32)
         any_alive = []
         for g in range(GRPS):
-            sl = slice(None) if g == 0 else slice((g - 1) * RCH, g * RCH)
+            sl = slice(g * RCH, (g + 1) * RCH)
             any_alive.append(jnp.any(alive[:, sl]).astype(f32))
         any_col = gcol(any_alive) > 0.5
 
@@ -741,7 +749,11 @@ def _trav_kernel(
         vb[...] = jnp.zeros((1, R), f32)
         alive_t = alive & root_hit(o3, d3)
         ok, entry = _interval_ok(o3, d3, alive_t)
-        cull_to_smem(ok[0:1, :], entry[0:1, :], [ok[1:, :]])
+        # DMA list = union of the chunk culls (tighter than a whole-tile
+        # interval test); chunk bits gate the per-chunk epilogues
+        ok_u = jnp.any(ok, axis=0, keepdims=True)
+        entry_u = jnp.min(jnp.where(ok, entry, _BIG), axis=0, keepdims=True)
+        cull_to_smem(ok_u, entry_u, [ok])
         oo = _dot3(o3, o3)
         od = _dot3(o3, d3)
         for b in range(nb_s):
@@ -805,8 +817,11 @@ def _trav_kernel(
         alive_i = alive_t.astype(jnp.int32)
         o_c, d_c, tmax_c = cull_ray if cull_ray is not None else (o3, d3, tmax)
         ok, entry = _interval_ok(o_c, d_c, alive_t, tmax=tmax_c)
-        cull_to_smem(ok[0:1, :], entry[0:1, :], [ok[1:, :]],
-                     reverse=SHADOW_NEAR_FIRST)
+        # union-of-chunks DMA list (cull chunks align 1:1 with forward-ray
+        # chunks: the reversed parametrization covers the same segments)
+        ok_u = jnp.any(ok, axis=0, keepdims=True)
+        entry_u = jnp.min(jnp.where(ok, entry, _BIG), axis=0, keepdims=True)
+        cull_to_smem(ok_u, entry_u, [ok], reverse=SHADOW_NEAR_FIRST)
 
         # resident spheres first: saturation may exit before any DMA
         oo = _dot3(o3, o3)
