@@ -120,10 +120,17 @@ def test_sorted_scatter_grads_match_naive(monkeypatch):
     assert plan.kind == "clusters"
 
     def run():
+        # render() is jitted and module flags are read at TRACE time —
+        # without a cache clear the second variant would silently reuse
+        # the first compilation and the comparison would be vacuous
+        jax.clear_caches()
         (_, _), grads = render_and_grad(
             scene, lambda im: jnp.sum(im**2), cfg, plan=plan)
         return grads
 
+    # the direct _pack_gather transpose bypasses the sorted-scatter flag;
+    # force the chained path so the flag is actually exercised
+    monkeypatch.setattr(deferred, "_PACK_DIRECT_ENV", "0")
     monkeypatch.setattr(deferred, "SORTED_SCATTER", False)
     g_naive = run()
     monkeypatch.setattr(deferred, "SORTED_SCATTER", True)
@@ -135,3 +142,57 @@ def test_sorted_scatter_grads_match_naive(monkeypatch):
         np.testing.assert_allclose(
             a, b, rtol=1e-5, atol=1e-6 * max(1.0, np.abs(a).max()),
             err_msg=leaf)
+
+
+def test_shade_compact_matches_plain(monkeypatch):
+    """Hit-compacted chunked shading + the _pack_gather direct transpose
+    (r3): per-pixel math is identical, so images agree to compiler noise
+    (XLA makes different FMA/fusion choices at chunk shapes — measured
+    ulp-level, ≤3e-5) and gradients are allclose (scatter accumulation
+    order), on (a) a mostly-miss textured mesh scene and (b) a reflective
+    sphere scene whose multi-depth alive/throughput logic crosses chunk
+    bodies."""
+    from tpurt.render import prepare, render, render_and_grad
+    from tpurt.shading import deferred
+
+    cases = [
+        configs.config5_multimesh(16, 48, n_blobs=1, subdiv=3),
+        configs.config3_spheres(16, 48),
+    ]
+    for scene, cfg in cases:
+        plan = prepare(scene, cfg, accel="bvh")
+        assert plan.kind == "clusters"
+
+        def run():
+            jax.clear_caches()  # flags are read at trace time
+            img = render(scene, cfg, plan=plan)
+            (_, _), g = render_and_grad(
+                scene, lambda im: jnp.sum(im**2), cfg, plan=plan)
+            return np.asarray(img), g
+
+        monkeypatch.setattr(deferred, "SHADE_COMPACT", False)
+        img0, g0 = run()
+        monkeypatch.setattr(deferred, "SHADE_COMPACT", True)
+        monkeypatch.setattr(deferred, "SHADE_COMPACT_MIN", 1)
+        monkeypatch.setattr(deferred, "SHADE_CHUNKS", 4)
+        img1, g1 = run()
+        np.testing.assert_allclose(
+            img0, img1, atol=1e-4, err_msg="compact shading changed image")
+        monkeypatch.setattr(deferred, "_PACK_DIRECT_ENV",
+                            "0" if deferred._pack_direct(
+                                scene.n_tris, img0.size // 3) else "1")
+        img2, g2 = run()
+        np.testing.assert_allclose(
+            img0, img2, atol=1e-4, err_msg="pack transpose changed image")
+        for ga, gb in ((g0, g1), (g1, g2)):
+            for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                              jax.tree_util.tree_leaves(gb)):
+                a, b = np.asarray(la), np.asarray(lb)
+                if not np.issubdtype(a.dtype, np.floating):
+                    continue
+                assert np.isfinite(b).all()
+                # scatter accumulation order differs between the paths —
+                # f32 sums over ~1k terms drift a few e-5 relative
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-4,
+                    atol=1e-4 * max(1.0, np.abs(a).max()))

@@ -21,6 +21,7 @@ the traversal kernel and a CPU path for tests.
 """
 from __future__ import annotations
 
+import functools
 import os
 from typing import Any
 
@@ -58,6 +59,86 @@ TEX_SEGSUM = os.environ.get("TPURT_TEX_SEGSUM", "0") != "0"
 #: put everything touching this scatter at ~1.6 s slabbed vs 0.23 s for
 #: scatter-free leaves — this is THE deferred-bwd lever.  A/B flag.
 SORTED_SCATTER = os.environ.get("TPURT_SORTED_SCATTER", "0") != "0"
+
+#: compacted chunked shading (r3): sort pixels by (miss, pid) with a
+#: stop-gradient argsort, shade in SHADE_CHUNKS chunks, and lax.cond-skip
+#: chunks past the last hit.  Motivation (scripts/ablate_bwd_real.py,
+#: config 5 @1080p): only 15% of pixels hit, yet shading gathered/scattered
+#: all 2M — the (T, 25) pack scatter alone was 293 ms of the 454 ms
+#: backward.  Compaction shrinks every per-pixel gather AND its backward
+#: scatter to the hit set.  Per-pixel math is identical and the permutation
+#: round-trips through exact custom-vjp gathers, so images agree to
+#: compiler noise (XLA picks different FMA/fusion at chunk shapes; measured
+#: ulp-level ≤3e-5) and gradients differ from the unchunked path only in
+#: scatter accumulation order (allclose).  Gated to big bundles — the argsort + chunk machinery loses
+#: below ~128k pixels.
+#: "auto" gates compaction to scenes where the scatters it shrinks are the
+#: dominant backward cost — the same 3·T > N regime as the direct vertex
+#: transpose below.  Measured: config 5 (big T, 15% hit) compact wins
+#: 944→664 ms fwdbwd; config 4 (small T, 74% hit) compact LOSES
+#: 169→262 ms (argsort + chunk machinery with nothing to skip).  A RUNTIME
+#: lax.cond on the measured hit fraction was tried and is a recorded
+#: negative result: the two branches' (N, ·) residuals co-allocate and
+#: XLA's remat stops at the cond boundary — config 4 fwdbwd OOM'd the
+#: compiler at 44.7 GB of HBM.  "1"/"0" force on/off.
+SHADE_COMPACT = os.environ.get("TPURT_SHADE_COMPACT", "auto")
+SHADE_CHUNKS = int(os.environ.get("TPURT_SHADE_CHUNKS", "16"))
+SHADE_COMPACT_MIN = 1 << 17
+
+
+def _shade_compact_on(n_tris: int, n_pix: int) -> bool:
+    v = SHADE_COMPACT
+    if isinstance(v, bool):      # tests monkeypatch booleans
+        return v
+    if v != "auto":
+        return v != "0"
+    return 3 * n_tris > n_pix
+
+#: backward of the per-pixel pack-row gather as DIRECT scatters into the
+#: merged per-vertex table (r3): the shadepack is LINEAR in vtab, so the
+#: chain cot_rows → (T, 25) pack scatter → 3 (V, 8) scatters at T updates
+#: can be replaced by 3 (V, 8) scatters at N_pixels updates with
+#: analytically-transposed column mixing — exact up to accumulation order.
+#: Measured motivation (ablate_bwd_real, config 5): the pack scatter
+#: (293 ms) + vertex-table scatters (227 ms) dominate the backward; with
+#: compaction the pixel count is the HIT count, so the direct form wins
+#: whenever 3·n_hit < N + 3·T ~ i.e. for big scenes.  Auto rule below;
+#: override with TPURT_PACK_DIRECT=0/1.
+_PACK_DIRECT_ENV = os.environ.get("TPURT_PACK_DIRECT", "auto")
+
+
+def _pack_direct(n_tris: int, n_pix: int) -> bool:
+    if _PACK_DIRECT_ENV != "auto":
+        return _PACK_DIRECT_ENV != "0"
+    return 3 * n_tris > n_pix
+
+
+@jax.custom_vjp
+def _bij_gather(x, idx, idx_t, valid_t):
+    """Gather y = x[idx] for a (padded) PERMUTATION whose transpose is the
+    PRE-INVERTED gather instead of a scatter-add: dx[j] = cot[idx_t[j]]
+    where valid_t[j], else 0.  Exact when idx restricted to valid_t's
+    support is a bijection and the cotangent at padding positions is zero
+    (compacted shading crops padding before the loss, so it is).  XLA
+    lowers scatter serially on TPU (~150 ns/update measured); this keeps
+    permutations at gather speed in both directions."""
+    return x[idx]
+
+
+def _bij_gather_fwd(x, idx, idx_t, valid_t):
+    return x[idx], (idx.shape, idx_t, valid_t)
+
+
+def _bij_gather_bwd(res, cot):
+    idx_shape, idx_t, valid_t = res
+    dx = cot[idx_t]
+    mask = valid_t.reshape(valid_t.shape + (1,) * (dx.ndim - 1))
+    f0 = lambda s: np.zeros(s, dtype=jax.dtypes.float0)  # noqa: E731
+    return (jnp.where(mask, dx, 0.0), f0(idx_shape), f0(idx_t.shape),
+            f0(valid_t.shape))
+
+
+_bij_gather.defvjp(_bij_gather_fwd, _bij_gather_bwd)
 
 
 @jax.custom_vjp
@@ -219,6 +300,46 @@ def records_oracle(scene, o, d, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True):
     )
 
 
+def _build_vtab(scene):
+    """ONE merged per-vertex table [pos | normal? | uv?] gathered once per
+    corner: 3 gathers instead of 9 (fields × corners), so the backward
+    pass emits 3 (V, 8) scatter-adds instead of 9 (V, 2..3) ones — the
+    fixed O(T)-update vertex scatters were half the bwd scatter rows at
+    1M tris."""
+    vcols = [scene.vertices]
+    if scene.smooth:
+        vcols.append(scene.vnormals)
+    if scene.textured:
+        vcols.append(scene.uvs)
+    return jnp.concatenate(vcols, axis=-1) if len(vcols) > 1 else vcols[0]
+
+
+def _pack_from_vtab(vtab, tri, tri_mat, smooth, textured):
+    """(V, W) vertex table + topology → the (T, K) shadepack.  LINEAR in
+    vtab (v0 = g0, e1 = g1 − g0, e2 = g2 − g0, normal/uv columns are
+    slices) — the property _pack_gather's analytic transpose relies on.
+    Column slices keep every downstream value the same subtraction/order
+    as the inline path, so values and gradients are bit-identical."""
+    g0 = vtab[tri[:, 0]]
+    g1 = vtab[tri[:, 1]]
+    g2 = vtab[tri[:, 2]]
+    v0 = g0[:, 0:3]
+    e1 = g1[:, 0:3] - v0
+    e2 = g2[:, 0:3] - v0
+    cols = [v0, e1, e2]
+    k = 3
+    if smooth:
+        cols += [g0[:, k:k + 3], g1[:, k:k + 3], g2[:, k:k + 3]]
+        k += 3
+    if textured:
+        cols += [g0[:, k:k + 2], g1[:, k:k + 2], g2[:, k:k + 2]]
+    # material id as a float column (< 2^24, exact in f32): folds the 2M-row
+    # tri_mat int gather into the same wide row; its cotangent is zero (used
+    # only through an int cast), so the bwd scatter is unaffected
+    cols += [lax.stop_gradient(tri_mat[:, None].astype(cols[0].dtype))]
+    return jnp.concatenate(cols, axis=-1)
+
+
 def _build_shadepack(scene):
     """Per-TRIANGLE gather table, O(T): ONE (T, K) concat of [v0|e1|e2]
     (cols 0:9), corner normals (9:18 when smooth) and corner uvs (next 6
@@ -228,48 +349,77 @@ def _build_shadepack(scene):
     pass at 2M pixels (BASELINE.md shading sub-split).  A single table
     also means the BACKWARD pass emits ONE (T, K) scatter-add per depth
     instead of one per use-site (the HLO showed 4 separate 2M-row scatters
-    into (T, 9) before the merge).  e1/e2 are computed with the same
-    subtraction as the inline path, so values (and gradients to vertices)
-    are bit-identical."""
-    tri = scene.triangles
-    # ONE merged per-vertex table [pos | normal? | uv?] gathered once per
-    # corner: 3 gathers instead of 9 (fields × corners), so the backward
-    # pass emits 3 (V, 8) scatter-adds instead of 9 (V, 2..3) ones — the
-    # fixed O(T)-update vertex scatters were half the bwd scatter rows at
-    # 1M tris.  Column slices keep every downstream value (v0, e1 = g1−g0,
-    # corner normals/uvs) the same subtraction/order as before.
-    vcols = [scene.vertices]
-    if scene.smooth:
-        vcols.append(scene.vnormals)
-    if scene.textured:
-        vcols.append(scene.uvs)
-    vtab = jnp.concatenate(vcols, axis=-1) if len(vcols) > 1 else vcols[0]
-    g0 = vtab[tri[:, 0]]
-    g1 = vtab[tri[:, 1]]
-    g2 = vtab[tri[:, 2]]
-    v0 = g0[:, 0:3]
-    e1 = g1[:, 0:3] - v0
-    e2 = g2[:, 0:3] - v0
-    cols = [v0, e1, e2]
-    k = 3
-    if scene.smooth:
-        cols += [g0[:, k:k + 3], g1[:, k:k + 3], g2[:, k:k + 3]]
-        k += 3
-    if scene.textured:
-        cols += [g0[:, k:k + 2], g1[:, k:k + 2], g2[:, k:k + 2]]
-    # material id as a float column (< 2^24, exact in f32): folds the 2M-row
-    # tri_mat int gather into the same wide row; its cotangent is zero (used
-    # only through an int cast), so the bwd scatter is unaffected
-    cols += [lax.stop_gradient(
-        scene.tri_mat[:, None].astype(cols[0].dtype))]
-    return jnp.concatenate(cols, axis=-1)
+    into (T, 9) before the merge)."""
+    return _pack_from_vtab(_build_vtab(scene), scene.triangles,
+                           scene.tri_mat, scene.smooth, scene.textured)
 
 
-def _gather_shaderows(scene, pid, pack):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _pack_gather(smooth, textured, pack_sg, vtab, tri, pid):
+    """Per-pixel shadepack-row gather whose TRANSPOSE scatters DIRECTLY
+    into the merged per-vertex table: the pack is linear in vtab
+    (_pack_from_vtab), so d_vtab is 3 (V, W) scatters at N_PIXEL updates
+    with analytically-mixed columns, replacing the (T, K) pack scatter at
+    N updates PLUS 3 (V, W) scatters at T updates the autodiff chain
+    emits.  Measured (ablate_bwd_real, config 5 @1080p): those two were
+    293 + 227 ms of the 454 ms backward.  `pack_sg` must equal
+    _pack_from_vtab(stop_gradient(vtab), tri, ...) — callers pass the
+    prebuilt pack so the forward stays one wide gather; its cotangent here
+    is zero (it feeds a stop_gradient).  Gradients are exact up to scatter
+    accumulation order (allclose vs the chained form)."""
+    return pack_sg[pid]
+
+
+def _pack_gather_fwd(smooth, textured, pack_sg, vtab, tri, pid):
+    return pack_sg[pid], (tri[pid], vtab.shape, pack_sg.shape, tri.shape,
+                          pid.shape)
+
+
+def _pack_gather_bwd(smooth, textured, res, cot):
+    idx3, vtab_shape, pack_shape, tri_shape, pid_shape = res
+    cotf = cot.reshape(-1, cot.shape[-1])
+    i3 = idx3.reshape(-1, 3)
+    c_v0 = cotf[:, 0:3]
+    c_e1 = cotf[:, 3:6]
+    c_e2 = cotf[:, 6:9]
+    # v0 = g0, e1 = g1 - g0, e2 = g2 - g0 (transpose of the linear map)
+    parts = [[c_v0 - c_e1 - c_e2], [c_e1], [c_e2]]
+    k = 9
+    if smooth:
+        for c in range(3):
+            parts[c].append(cotf[:, k + 3 * c : k + 3 * (c + 1)])
+        k += 9
+    if textured:
+        for c in range(3):
+            parts[c].append(cotf[:, k + 2 * c : k + 2 * (c + 1)])
+    dvtab = jnp.zeros(vtab_shape, cotf.dtype)
+    for c in range(3):
+        upd = (jnp.concatenate(parts[c], axis=-1)
+               if len(parts[c]) > 1 else parts[c][0])
+        dvtab = dvtab.at[i3[:, c]].add(upd)
+    f0 = lambda s: np.zeros(s, dtype=jax.dtypes.float0)  # noqa: E731
+    return (jnp.zeros(pack_shape, cotf.dtype), dvtab, f0(tri_shape),
+            f0(pid_shape))
+
+
+_pack_gather.defvjp(_pack_gather_fwd, _pack_gather_bwd)
+
+
+def _gather_shaderows(scene, pid, pack, vtab=None, gather_fn=None):
     """The one wide row gather per (pixel, depth): → (tri_rows, nrm_rows,
     uv_rows, mat) with statically-sliced columns (None where the scene has
-    no such attribute); mat is the triangle's material id, int32."""
-    if SORTED_SCATTER:
+    no such attribute); mat is the triangle's material id, int32.
+
+    `vtab` (the differentiable merged vertex table) selects the
+    _pack_gather direct-transpose backward; `gather_fn` overrides the
+    gather entirely (scene-sharded rendering fetches rows around the
+    device ring)."""
+    if gather_fn is not None:
+        g = gather_fn(pid)
+    elif vtab is not None:
+        g = _pack_gather(scene.smooth, scene.textured, pack, vtab,
+                         scene.triangles, pid)
+    elif SORTED_SCATTER:
         order = jnp.argsort(lax.stop_gradient(pid).reshape(-1))
         g = _gather_rows_sorted(pack, pid, order)
     else:
@@ -431,12 +581,32 @@ def _sample_texture_flat(scene, tex_id, uv):
 
 
 def shade_from_records(
-    scene, o, d, recs: HitRecords, max_depth=C.DEFAULT_MAX_DEPTH, shadows=True
+    scene, o, d, recs: HitRecords, max_depth=C.DEFAULT_MAX_DEPTH,
+    shadows=True, gather_fn=None,
 ):
     """Whitted shading replay from records → colors (N, 3), differentiable
     w.r.t. every float scene leaf.  Conventions identical to ref/oracle.py
-    (tested: oracle records ⇒ bit-identical structure, allclose values)."""
-    pack = _build_shadepack(scene)
+    (tested: oracle records ⇒ bit-identical structure, allclose values).
+
+    Big bundles are shaded COMPACTED (SHADE_COMPACT): pixels sorted by
+    (miss, pid), chunks past the last hit cond-skipped — images agree to
+    compiler noise (ulp-level FMA/fusion differences at chunk shapes),
+    gradients allclose (scatter accumulation order).
+    `gather_fn(pid) -> (N, K) rows` overrides the shadepack gather for
+    scene-sharded rendering (collectives inside — compaction disabled:
+    per-device chunk counts would diverge and deadlock the ring)."""
+    N = o.shape[0]
+    direct = gather_fn is None and _pack_direct(scene.n_tris, N)
+    vtab = None
+    pack = None
+    if gather_fn is None:
+        if direct:
+            vtab = _build_vtab(scene)
+            pack = _pack_from_vtab(lax.stop_gradient(vtab), scene.triangles,
+                                   scene.tri_mat, scene.smooth,
+                                   scene.textured)
+        else:
+            pack = _build_shadepack(scene)
     # material columns packed the same way: ONE (N, 12) row gather per
     # depth instead of six separate 2M-row gathers (ka/kd/ks/shininess/
     # reflectivity/texture_id — the id rides as an exact float, like
@@ -446,18 +616,99 @@ def shade_from_records(
         [m.ka, m.kd, m.ks, m.shininess[:, None], m.reflectivity[:, None],
          lax.stop_gradient(m.texture_id[:, None].astype(C.DTYPE))],
         axis=-1)
+
+    compact = (gather_fn is None and N >= SHADE_COMPACT_MIN
+               and _shade_compact_on(scene.n_tris, N))
+    if not compact:
+        return _shade_bundle(scene, o, d, (recs.prim, recs.is_tri, recs.occ),
+                             max_depth, shadows, pack, vtab, matpack,
+                             gather_fn)
+
+    miss0 = recs.prim[0] < 0
+    n_hit = jnp.sum((~miss0).astype(jnp.int32))
+    return _shade_compacted(scene, o, d, recs, max_depth, shadows, pack,
+                            vtab, matpack, miss0, n_hit)
+
+
+def _shade_compacted(scene, o, d, recs, max_depth, shadows, pack, vtab,
+                     matpack, miss0, n_hit):
+    # ---- hit-compacted chunked shading (r3) -------------------------------
+    # Sort pixels by (miss, pid): a pixel that misses at depth 0 is dead at
+    # every depth (alive never resurrects) and its color is exactly the
+    # clipped background — zero gradient.  Hits sort by pid for gather/
+    # scatter run-length locality.  The permutation round-trips through
+    # _bij_gather (transpose = pre-inverted gather, never a scatter).
+    N = o.shape[0]
+    key = jnp.where(miss0, jnp.int32(2 ** 30), recs.prim[0])
+    perm = jnp.argsort(lax.stop_gradient(key))
+    inv = jnp.argsort(perm)
+    NCHK = SHADE_CHUNKS
+    B = -(-N // NCHK)
+    N_pad = B * NCHK
+    npad = N_pad - N
+    perm_p = (jnp.concatenate([perm, jnp.zeros((npad,), perm.dtype)])
+              if npad else perm)
+    ones_home = jnp.ones((N,), bool)
+    valid_sorted = jnp.arange(N_pad) < N
+    o_p = _bij_gather(o, perm_p, inv, ones_home)
+    d_p = _bij_gather(d, perm_p, inv, ones_home)
+
+    def pint(x, fill):  # integer records: plain gathers (no gradients)
+        xp = x[:, perm]
+        if npad:
+            xp = jnp.concatenate(
+                [xp, jnp.full((x.shape[0], npad), fill, xp.dtype)], axis=1)
+        return xp
+
+    D = recs.prim.shape[0]
+    prim_c = pint(recs.prim, -1).reshape(D, NCHK, B).transpose(1, 0, 2)
+    istri_c = pint(recs.is_tri.astype(jnp.int32), 0).reshape(
+        D, NCHK, B).transpose(1, 0, 2)
+    occ_c = pint(recs.occ, 0).reshape(D, NCHK, B).transpose(1, 0, 2)
+    o_c = o_p.reshape(NCHK, B, 3)
+    d_c = d_p.reshape(NCHK, B, 3)
+
+    def body(xs):
+        ci, oc, dc, pc, tc, occc = xs
+
+        def live(_):
+            return _shade_bundle(scene, oc, dc, (pc, tc != 0, occc),
+                                 max_depth, shadows, pack, vtab, matpack,
+                                 None)
+
+        # chunks whose first sorted position is past the last hit are
+        # all-miss (or padding): their true color is the constant clipped
+        # background, restored by the where(miss0) below — skip everything
+        return lax.cond(ci * B < n_hit, live,
+                        lambda _: jnp.zeros((B, 3), C.DTYPE), 0)
+
+    colors_c = lax.map(
+        body, (jnp.arange(NCHK), o_c, d_c, prim_c, istri_c, occ_c))
+    colors = _bij_gather(colors_c.reshape(N_pad, 3), inv, perm_p,
+                         valid_sorted)
+    bg = jnp.clip(jnp.asarray(C.BACKGROUND, C.DTYPE), C.CLAMP_LO, C.CLAMP_HI)
+    return jnp.where(miss0[:, None], bg, colors)
+
+
+def _shade_bundle(scene, o, d, recs_tup, max_depth, shadows, pack, vtab,
+                  matpack, gather_fn):
+    """Whitted shading of one flat bundle (the per-chunk body; also the
+    whole image on the uncompacted path)."""
+    prim_all, istri_all, occ_all = recs_tup
     accum = jnp.zeros_like(o)
     thr = jnp.ones((*o.shape[:-1], 1), C.DTYPE)
     alive = jnp.ones(o.shape[:-1], bool)
 
     def layer(depth, accum, thr, alive, o, d):
-        prim = recs.prim[depth]
-        is_tri = recs.is_tri[depth]
-        occ = recs.occ[depth]
+        prim = prim_all[depth]
+        is_tri = istri_all[depth]
+        occ = occ_all[depth]
         hit = prim >= 0
         # ONE wide row gather per depth; every consumer below slices it
-        # statically (fwd: one gather; bwd: one (T, K) scatter-add)
-        rows = _gather_shaderows(scene, jnp.maximum(prim, 0), pack)
+        # statically (fwd: one gather; bwd: one (T, K) scatter-add, or
+        # direct (V, W) scatters via _pack_gather)
+        rows = _gather_shaderows(scene, jnp.maximum(prim, 0), pack,
+                                 vtab=vtab, gather_fn=gather_fn)
         t, u, v = _recompute_tuv(scene, o, d, prim, is_tri, rows=rows)
         p, n, mat = _hit_geometry(scene, o, d, t, prim, is_tri, u, v,
                                   rows=rows)
@@ -508,7 +759,12 @@ def shade_from_records(
         return accum, thr, alive, o, d
 
     for depth in range(max_depth + 1):
-        if depth == 0:
+        if depth == 0 or gather_fn is not None:
+            # gather_fn may contain COLLECTIVES (the scene-sharded ring
+            # rotates pack slices with ppermute): a data-dependent cond
+            # around it deadlocks the mesh when devices disagree on
+            # liveness (observed: 3-of-4 rendezvous hang) — every device
+            # must execute every layer's collectives unconditionally
             accum, thr, alive, o, d = layer(depth, accum, thr, alive, o, d)
         else:
             # a layer with no live path contributes exactly zero (accum is
