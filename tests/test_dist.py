@@ -83,20 +83,25 @@ def test_graft_entry_multichip():
 
 
 def test_scene_sharded_ring_matches_replicated():
-    """Scene sharding v1 (SURVEY.md §5 axis b): cluster blocks sharded over
-    the mesh + ring ray exchange must reproduce the replicated render.
-    Interpret-mode pallas inside shard_map is slow, so the case is tiny:
-    mesh 2, one bounce, shadows on (exercises the shadow ring too)."""
+    """Scene sharding v2 (SURVEY.md §5 axis b): cluster blocks AND shading
+    tables sharded over the mesh + ring ray exchange must reproduce the
+    replicated render of the (renumbered) scene.  Interpret-mode pallas
+    inside shard_map is slow, so the case is tiny: mesh 2, one bounce,
+    shadows on (exercises the shadow ring too)."""
     import numpy as np
 
     from tpurt.accel import build_clusters
-    from tpurt.dist import make_mesh, render_scene_sharded
+    from tpurt.dist import (make_mesh, render_scene_sharded,
+                            renumber_by_clusters)
     from tpurt.scene import configs
 
     scene, cfg = configs.config4_bunny(8, 8, subdiv=2)
     cfg = cfg.replace(max_depth=0)
     cs = build_clusters(np.asarray(scene.vertices), np.asarray(scene.triangles))
-    tri_ids = jnp.asarray(cs.tri_ids)
+    # compare on the renumbered scene: the ring renumbers internally, and
+    # the replicated reference must share the numbering (exact-t ties
+    # between different tris resolve by gid)
+    scene, tri_ids = renumber_by_clusters(scene, jnp.asarray(cs.tri_ids))
 
     from tpurt.kernels.traversal import render_rows_clustered
 
@@ -108,35 +113,63 @@ def test_scene_sharded_ring_matches_replicated():
 
 def test_scene_sharded_reflective_and_grads():
     """Ring exchange with live secondary rays (reflective spheres, duplicate
-    pad clusters across 4 shards) + grads flow through the deferred pass
-    with psum'd scene cotangents."""
+    pad clusters across 4 shards) + grads flow through the ring-fetched
+    shading rows with psum'd scene cotangents (prepared API under grad)."""
     import numpy as np
 
     from tpurt.accel import build_clusters
-    from tpurt.dist import make_mesh, render_scene_sharded
+    from tpurt.dist import (make_mesh, prepare_scene_sharded,
+                            render_scene_sharded_prepared)
     from tpurt.scene import configs
 
     scene, cfg = configs.config3_spheres(8, 8)
     cfg = cfg.replace(max_depth=1, shadows=False)
     cs = build_clusters(np.asarray(scene.vertices), np.asarray(scene.triangles))
-    tri_ids = jnp.asarray(cs.tri_ids)
+    mesh = make_mesh(4)
+    scene2, parts = prepare_scene_sharded(scene, jnp.asarray(cs.tri_ids), 4)
 
     from tpurt.kernels.traversal import render_rows_clustered
 
-    ref = np.asarray(render_rows_clustered(scene, cfg, tri_ids, 0, 8))
-    mesh = make_mesh(4)
+    # per-device triangle-derived bytes shrink ~1/n (VERDICT r2 item 4c):
+    # each shard's cluster slice is C/n and its triangle slice ≈ T/n
+    tloc, tri_sh, _, _, cnts, T_global = parts
+    assert T_global == scene.n_tris
+    assert tloc.shape[1] == -(-cs.tri_ids.shape[0] // 4)
+    assert tri_sh.shape[1] <= -(-scene.n_tris // 4) + 128  # +1 cluster slack
+    assert int(jnp.sum(cnts)) == scene.n_tris  # disjoint cover
+
+    # replicated reference on the SAME renumbered scene
+    from tpurt.dist import renumber_by_clusters
+
+    scene_r, tri_idsr = renumber_by_clusters(scene, jnp.asarray(cs.tri_ids))
+    ref = np.asarray(render_rows_clustered(scene_r, cfg, tri_idsr, 0, 8))
     # topology is exactly equal (integer records); shading under shard_map
     # fuses differently -> ulp-level fp differences
-    img = np.asarray(render_scene_sharded(scene, cfg, tri_ids, mesh))
+    img = np.asarray(render_scene_sharded_prepared(scene2, cfg, parts, mesh))
     np.testing.assert_allclose(img, ref, atol=1e-5)
 
     def loss(s):
-        return jnp.sum(render_scene_sharded(s, cfg, tri_ids, mesh) ** 2)
+        return jnp.sum(
+            render_scene_sharded_prepared(s, cfg, parts, mesh) ** 2)
 
-    g = jax.grad(loss, allow_int=True)(scene)
+    g = jax.grad(loss, allow_int=True)(scene2)
     for f in ("light_color", "sph_center", "vertices"):
         a = np.asarray(getattr(g, f))
         assert np.isfinite(a).all() and np.abs(a).sum() > 0, f
+    # ring-fetched rows must carry vertex grads back to the owning shard:
+    # compare against the replicated clustered path's gradients (same
+    # renumbered scene, same topology -> allclose up to scatter order)
+    from tpurt.render import RenderPlan, render_and_grad
+
+    plan = RenderPlan(tri_ids=tri_idsr, kind="clusters")
+    (_, _), g_ref = render_and_grad(
+        scene_r, lambda im: jnp.sum(im**2), cfg, plan=plan)
+    for f in ("light_color", "sph_center", "vertices"):
+        a = np.asarray(getattr(g_ref, f))
+        b = np.asarray(getattr(g, f))
+        np.testing.assert_allclose(
+            a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(a).max()),
+            err_msg=f)
 
 
 # ---------------------------------------------------------------------------

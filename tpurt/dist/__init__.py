@@ -5,7 +5,12 @@ from tpurt.dist.failsafe import (
     heartbeat,
     render_resumable,
 )
-from tpurt.dist.scene_shard import render_scene_sharded
+from tpurt.dist.scene_shard import (
+    prepare_scene_sharded,
+    render_scene_sharded,
+    render_scene_sharded_prepared,
+    renumber_by_clusters,
+)
 from tpurt.dist.shard import make_mesh, render_sharded
 from tpurt.dist.train import make_train_step, sgd_update
 
@@ -13,6 +18,9 @@ __all__ = [
     "make_mesh",
     "render_sharded",
     "render_scene_sharded",
+    "render_scene_sharded_prepared",
+    "prepare_scene_sharded",
+    "renumber_by_clusters",
     "make_train_step",
     "sgd_update",
     "render_resumable",

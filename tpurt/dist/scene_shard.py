@@ -1,31 +1,50 @@
-"""Scene sharding v1: cluster blocks sharded across the mesh, rays exchanged
-around a ring (SURVEY.md §5 scaling axis (b) — "ring-style ray exchange",
-the ray tracer's structural analogue of ring attention; BASELINE.json:5
-"scene primitives replicated or sharded per-host").
+"""Scene sharding v2: cluster blocks AND shading tables sharded across the
+mesh, rays exchanged around a ring (SURVEY.md §5 scaling axis (b) —
+"ring-style ray exchange", the ray tracer's structural analogue of ring
+attention; BASELINE.json:5 "scene primitives replicated or sharded
+per-host").
 
 Layout: a 1-D mesh of n devices.  The IMAGE is row-slab sharded (the same
-data-parallel axis as tpurt/dist/shard.py) AND the cluster set is sharded:
-device i holds row-slab i of the rays and 1/n of the cluster blocks — the
-streamed wtri_c/attr_c arrays, which dominate packed-scene memory (~190 MB
-of ~250 MB at 1M tris).  Each bounce runs n ring steps: trace resident rays
-against local clusters, fold the per-shard best into the carried
-(t, id) record by (t, gid) — exactly the oracle's argmin-first tie rule —
-then `lax.ppermute` the ray packet to the next device.  After n steps rays
-are home with globally-correct topology.  Shadow rays make the same trip
-per light; occlusion is `t_hit < dist`.  Shading stays the differentiable
-deferred pass (scene pytree replicated in v1; autodiff inserts the psum for
-scene-parameter gradients).
+data-parallel axis as tpurt/dist/shard.py) AND the triangle set is sharded:
+triangles are RENUMBERED into cluster-major order (renumber_by_clusters) so
+that a contiguous cluster range owns a contiguous global-id range, and
+device i then holds
 
-Cost model: forward communication is 6 f32 + records per ray per step over
-ICI — bandwidth-bound, overlappable; v1 optimizes for correctness and is
-validated against replicated rendering on the CPU mesh (tests/test_dist.py).
+* 1/n of the cluster blocks — the streamed ``wtri_c/attr_c`` arrays
+  (~190 MB of ~250 MB packed at 1M tris),
+* the matching 1/n slice of ``scene.triangles``/``tri_mat`` rows, and
+* the matching 1/n slice of the (T, K) deferred-shading pack built from it
+
+— the full scene pytree minus its triangle arrays stays replicated (the
+vertex table is the v3 sharding axis; at 1M tris it is ~12–36 MB).
+
+Each bounce runs n ring steps: compact the arrived rays (live-first, Morton
+order — the wavefront re-bin applied to traveling rays, so the kernel's
+live-tile skip actually fires), trace against local clusters, fold the
+per-shard best into the carried (t, gid) record by the oracle's argmin-first
+tie rule, then ``lax.ppermute`` the ray packet onward.  Shadow rays make the
+same trip per light; occlusion is ``t_hit < dist``.  SHADING stays home:
+per-depth shadepack rows are fetched by rotating the (Tmax, K) pack slices
+around the ring (n gathers masked by pid range — `_ring_rows`), which is
+differentiable, so vertex/normal/uv gradients flow through the traveling
+slices and land back on the owning shard via the transposed permutes;
+replicated leaves (vertices, materials, lights, textures) get their psum
+from shard_map autodiff.
+
+Cost model: forward communication is 6 f32 + records per ray per step plus
+one rotation of the pack slice per shading depth over ICI — bandwidth-bound,
+overlappable; v2 optimizes for correctness + memory scaling and is validated
+bit-for-bit against replicated rendering of the renumbered scene on the CPU
+mesh (tests/test_dist.py).
 """
 from __future__ import annotations
 
+import dataclasses
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
@@ -35,15 +54,86 @@ from tpurt.core.types import RenderConfig
 from tpurt.dist.shard import TILE_AXIS, _rows_per_device
 
 
-def _pad_clusters_to(tri_ids, n: int):
-    """Pad the cluster list to a multiple of n with duplicates of cluster 0
-    (duplicate clusters are harmless under closest-hit and any-hit)."""
-    Ccount = tri_ids.shape[0]
-    C_pad = -(-Ccount // n) * n
-    if C_pad != Ccount:
-        pad = jnp.broadcast_to(tri_ids[:1], (C_pad - Ccount, tri_ids.shape[1]))
-        tri_ids = jnp.concatenate([tri_ids, pad], axis=0)
-    return tri_ids
+def renumber_by_clusters(scene, tri_ids):
+    """Host-side: permute triangles into cluster-major first-occurrence
+    order so each contiguous cluster range owns one contiguous global
+    tri-id range — the property that lets cluster shards also shard the
+    shading tables by pid range.  Idempotent (renumbering a renumbered
+    scene is the identity).  Images are invariant except on exact-t ties
+    between DIFFERENT triangles (the lowest-gid rule resolves by the new
+    numbering) — a measure-zero event; vertices keep their order, so all
+    float gradients map 1:1."""
+    flat = np.asarray(tri_ids).reshape(-1)
+    T = int(np.asarray(scene.triangles).shape[0])
+    _, first = np.unique(flat, return_index=True)
+    order = flat[np.sort(first)]                  # old ids, cluster-major
+    assert order.shape[0] == T, (order.shape, T)
+    inv = np.empty(T, np.int64)
+    inv[order] = np.arange(T)
+    tris = np.asarray(scene.triangles)[order]
+    tmat = np.asarray(scene.tri_mat)[order]
+    scene2 = dataclasses.replace(
+        scene, triangles=jnp.asarray(tris), tri_mat=jnp.asarray(tmat))
+    host = getattr(scene, "host_mesh", None)
+    if host is not None:
+        object.__setattr__(scene2, "host_mesh", (host[0], tris))
+    tri_ids2 = inv[np.asarray(tri_ids)].astype(np.int32)
+    return scene2, jnp.asarray(tri_ids2)
+
+
+def shard_scene_clusters(scene, tri_ids2, n: int):
+    """Host-side shard assembly AFTER renumber_by_clusters: split the
+    cluster list into n contiguous slices (padded with duplicates of the
+    last cluster — harmless under closest/any-hit) and cut the matching
+    triangle-row ranges, padded to a common Tmax.
+
+    Returns (tri_ids_loc (n, Cs, 128) LOCAL-indexed, tri_sh (n, Tmax, 3),
+    tmat_sh (n, Tmax), t0s (n,), cnts (n,), Tmax) — the per-device packed
+    bytes are ~1/n of the replicated arrays (tests assert this)."""
+    tri_ids2 = np.asarray(tri_ids2)
+    tris = np.asarray(scene.triangles)
+    tmat = np.asarray(scene.tri_mat)
+    T = tris.shape[0]
+    Ccount = tri_ids2.shape[0]
+    Cs = -(-Ccount // n)
+    if Cs * n != Ccount:
+        # pad the cluster list with duplicates of the LAST cluster: they
+        # stay inside the last shard's contiguous id range
+        pad = np.broadcast_to(
+            tri_ids2[-1:], (Cs * n - Ccount, tri_ids2.shape[1]))
+        tri_ids2 = np.concatenate([tri_ids2, pad], axis=0)
+    t0s = np.empty(n, np.int64)
+    trace_hi = np.empty(n, np.int64)      # ids the shard's clusters touch
+    for i in range(n):
+        sl = tri_ids2[i * Cs : (i + 1) * Cs]
+        t0s[i] = sl.min()
+        trace_hi[i] = sl.max() + 1
+    # contiguity invariants from the renumbering (duplicate-pad shards may
+    # repeat the previous shard's range — t0s is non-decreasing, never gaps)
+    assert t0s[0] == 0 and trace_hi.max() == T, (t0s, trace_hi, T)
+    assert all(t0s[i + 1] <= trace_hi[i] for i in range(n - 1)), (
+        t0s, trace_hi)
+    # DISJOINT row-fetch ranges (a pid must be served by exactly ONE shard
+    # in _ring_rows): [t0s[i], t0s[i+1]); duplicate-pad shards get cnt 0
+    fetch_hi = np.concatenate([t0s[1:], [T]])
+    cnts = np.maximum(fetch_hi - t0s, 0)
+    # the TRACE needs every row its clusters reference, which can exceed
+    # the fetch range on duplicate-pad shards — size slices to the max of
+    # both and always fill them with the REAL rows at [t0, t0+Tmax)
+    Tmax = int(np.maximum(trace_hi - t0s, cnts).max())
+    tri_sh = np.zeros((n, Tmax, 3), tris.dtype)
+    tmat_sh = np.zeros((n, Tmax), tmat.dtype)
+    tloc = np.empty((n, Cs, tri_ids2.shape[1]), np.int32)
+    for i in range(n):
+        c = int(min(Tmax, T - t0s[i]))
+        tri_sh[i, :c] = tris[t0s[i] : t0s[i] + c]
+        tri_sh[i, c:] = tris[t0s[i] : t0s[i] + 1]  # pad rows: never packed
+        tmat_sh[i, :c] = tmat[t0s[i] : t0s[i] + c]
+        tmat_sh[i, c:] = tmat[t0s[i]]
+        tloc[i] = tri_ids2[i * Cs : (i + 1) * Cs] - t0s[i]
+    return (jnp.asarray(tloc), jnp.asarray(tri_sh), jnp.asarray(tmat_sh),
+            jnp.asarray(t0s.astype(np.int32)),
+            jnp.asarray(cnts.astype(np.int32)), Tmax)
 
 
 def _merge(best_t, best_id, t_new, id_new):
@@ -76,8 +166,9 @@ def _root_entry(lo, hi, o, d):
     return jnp.maximum(t_lo, 0.0), (t_lo <= t_hi) & (t_hi > 0.0)
 
 
-def _ring_closest(packed, config, o, d, alive, axis, n, tmax=None):
-    """n ring steps of closest-hit: returns (ids, t) global bests for the
+def _ring_closest(packed, config, o, d, alive, axis, n, T_global, t0,
+                  tmax=None):
+    """n ring steps of closest-hit: returns (ids, t) GLOBAL bests for the
     rays that START on this device (they travel the full ring and land back
     home on the last permute).
 
@@ -87,11 +178,17 @@ def _ring_closest(packed, config, o, d, alive, axis, n, tmax=None):
     keep at equality — an equal-t smaller-id tie could still win), or
     (c) `tmax` is given (shadow rings: the occlusion band end, which
     TRAVELS with the ray) and the carried best already proves occlusion.
-    Dead rays still ride the ring (fixed shapes) but thin every kernel
-    cull on the remaining shards."""
-    from tpurt.kernels.traversal import RAYS, trace_bounce
+
+    Traveling rays are COMPACTED before each trace (live-first, Morton-of-
+    origin + direction-octant order — the wavefront re-bin applied to the
+    ring) so the kernel's live-tile skip fires and the tiles the surviving
+    rays do occupy stay coherent; results scatter back by the inverse
+    permutation before the merge, which is order-independent (min-fold
+    with an exact gid tie rule), so compaction is exact."""
+    from tpurt.kernels.traversal import _bin_key, trace_bounce
 
     N = o.shape[0]
+    Tmax = packed.n_tris                      # local (padded) triangle count
     lo = jnp.min(packed.aabb[0:3, : packed.n_clusters], axis=1)
     hi = jnp.max(packed.aabb[3:6, : packed.n_clusters], axis=1)
     no_tmax = tmax is None
@@ -116,42 +213,107 @@ def _ring_closest(packed, config, o, d, alive, axis, n, tmax=None):
         al_eff = al_c & keep
         if not no_tmax:
             al_eff = al_eff & ~(bt < tm)  # already provably occluded
+        # live-first Morton compaction of the arrived rays (exact, see
+        # docstring); n_live lets the kernel skip dead tiles entirely
+        key = _bin_key(o_c, d_c, lo, hi, al_eff)
+        prm = jnp.argsort(lax.stop_gradient(key))
+        ipr = jnp.argsort(prm)
+        n_live = jnp.sum(al_eff.astype(jnp.int32))
         # shadows=False: occlusion is traced by DEDICATED shadow rings (one
         # per light) — the kernel's in-kernel per-light occlusion pass is
         # the dominant cost and its result would be discarded here
         ids_s, _occ, t_s, _ = trace_bounce(
-            packed, config, o_c, d_c, al_eff,
-            jnp.asarray(N, jnp.int32), shadows=False,
+            packed, config, o_c[prm], d_c[prm], al_eff[prm], n_live,
+            shadows=False,
         )
-        bt, bid = _merge(bt, bid, t_s, ids_s)
+        ids_s = ids_s[ipr]
+        t_s = t_s[ipr]
+        # local → global ids: tris get + this device's shard offset (the
+        # pack is resident — rays travel, clusters don't); spheres (local
+        # gid >= Tmax) map past every global triangle
+        ids_g = jnp.where(
+            ids_s < 0, ids_s,
+            jnp.where(ids_s < Tmax, ids_s + t0, ids_s - Tmax + T_global))
+        bt, bid = _merge(bt, bid, t_s, ids_g)
         state = lax.ppermute((o_c, d_c, al_c, bt, bid, tm), axis, perm)
     _, _, _, bt, bid, _ = state
     return bid, bt
 
 
-def _hit_frame(scene_sg, o, d, ids, T):
-    """Differentiation-free hit geometry for ray continuation / shadows —
-    the single continuation convention lives in traversal._continue_rays."""
-    from tpurt.kernels.traversal import _continue_rays
+def _ring_rows(pack_loc, pid, axis, n, t0s, cnts):
+    """Fetch shadepack rows for GLOBAL pids by rotating the (Tmax, K) pack
+    slices around the ring: n masked gathers, one ppermute per step.
+    Differentiable — the transpose scatters each step's cotangent rows into
+    the traveling slice and the reversed permutes carry them back to the
+    owning shard.  Total traffic per device ≈ the full pack once, but peak
+    residency is 2 slices (the >HBM point).  Miss lanes (pid clipped to 0)
+    fetch shard 0's row 0, mirroring the replicated path's clipped gather.
+    """
+    me = lax.axis_index(axis)
+    perm = [(i, (i + 1) % n) for i in range(n)]
+    Tmax = pack_loc.shape[0]
+    rows = jnp.zeros(pid.shape + (pack_loc.shape[1],), pack_loc.dtype)
+    pk = pack_loc
+    for s in range(n):
+        src = (me - s) % n                    # shard resident after s steps
+        t0 = t0s[src]
+        cnt = cnts[src]
+        loc = pid - t0
+        m = (loc >= 0) & (loc < cnt)
+        g = pk[jnp.clip(loc, 0, Tmax - 1)]
+        rows = rows + jnp.where(m[..., None], g, 0.0)
+        if s < n - 1:
+            pk = lax.ppermute(pk, axis, perm)
+    return rows
 
-    p_off, refl_dir, alive, p = _continue_rays(scene_sg, o, d, ids, T)
-    return p, p_off, refl_dir, alive
+
+def _split_rows(smooth, textured, g):
+    """Split a gathered (N, K) pack row into the _gather_shaderows tuple."""
+    tri_rows = (g[..., 0:3], g[..., 3:6], g[..., 6:9])
+    k = 9
+    nrm_rows = None
+    if smooth:
+        nrm_rows = (g[..., k:k + 3], g[..., k + 3:k + 6], g[..., k + 6:k + 9])
+        k += 9
+    uv_rows = None
+    if textured:
+        uv_rows = (g[..., k:k + 2], g[..., k + 2:k + 4], g[..., k + 4:k + 6])
+        k += 6
+    mat = jnp.round(g[..., k]).astype(C.INDEX_DTYPE)
+    return tri_rows, nrm_rows, uv_rows, mat
 
 
-def _render_slab_ring(scene, config, tri_ids_loc, row0, nrows, axis, n):
+def _render_slab_ring(scene, config, tri_ids_loc, tri_loc, tmat_loc, t0,
+                      t0s, cnts, row0, nrows, axis, n, T_global):
     """Per-device body under shard_map: trace this device's row slab against
-    the ring of cluster shards, then shade deferentially."""
+    the ring of cluster shards, then shade deferentially with ring-fetched
+    pack rows.  `scene` arrives with DUMMY triangle arrays (the real rows
+    are the sharded tri_loc/tmat_loc)."""
     from tpurt.kernels.packc import pack_clusters
     from tpurt.kernels.traversal import RAYS
-    from tpurt.shading.deferred import HitRecords, shade_from_records
+    from tpurt.shading.deferred import (HitRecords, _build_vtab,
+                                        _hit_geometry, _pack_from_vtab,
+                                        _recompute_tuv, shade_from_records)
+    from tpurt.core import vec
 
     sg = jax.lax.stop_gradient
-    packed = pack_clusters(scene, tri_ids_loc)
-    scene_sg = sg(scene)
-    T = scene.n_tris
+    scene_loc = dataclasses.replace(scene, triangles=tri_loc,
+                                    tri_mat=tmat_loc)
+    packed = pack_clusters(scene_loc, tri_ids_loc)
+    Tmax = tri_loc.shape[0]
     W = config.width
     n_pix = nrows * W
     N_pad = -(-n_pix // RAYS) * RAYS
+
+    # the differentiable shading slice: (Tmax, K) built from replicated
+    # vertex tables + this shard's triangle rows
+    vtab = _build_vtab(scene)
+    pack_sh = _pack_from_vtab(vtab, tri_loc, tmat_loc, scene.smooth,
+                              scene.textured)
+    pack_sg = sg(pack_sh)
+
+    def ring_rows(pid):
+        return _ring_rows(pack_sh, pid, axis, n, t0s, cnts)
 
     o, d = geom.generate_rays(scene.camera, config.height, W, row0, nrows)
     o = sg(o.reshape(-1, 3))
@@ -166,11 +328,28 @@ def _render_slab_ring(scene, config, tri_ids_loc, row0, nrows, axis, n):
 
     ids_list, occ_list = [], []
     for _depth in range(config.max_depth + 1):
-        ids, _t = _ring_closest(packed, config, o_p, d_p, alive, axis, n)
+        ids, _t = _ring_closest(packed, config, o_p, d_p, alive, axis, n,
+                                T_global, t0)
         ids = jnp.where(alive, ids, -1)
-        p, p_off, refl_dir, alive_next = _hit_frame(
-            scene_sg, o_p, d_p, ids, T
-        )
+        # continuation + shadow-origin geometry from ring-fetched rows
+        # (stop-gradient: ray positions are kernel inputs, never a gradient
+        # path; the differentiable replay is the shading below)
+        miss = ids < 0
+        is_tri = (~miss) & (ids < T_global)
+        prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T_global))
+        rows = _split_rows(
+            scene.smooth, scene.textured,
+            _ring_rows(pack_sg, sg(jnp.maximum(prim, 0)), axis, n, t0s,
+                       cnts))
+        t, u, v = _recompute_tuv(scene_loc, o_p, d_p, prim, is_tri,
+                                 rows=rows)
+        p, nrm, mat = _hit_geometry(scene_loc, o_p, d_p, t, prim, is_tri,
+                                    u, v, rows=rows)
+        p_off = p + nrm * C.RAY_OFFSET_EPS
+        refl_dir = vec.reflect(d_p, nrm)
+        refl = scene.materials.reflectivity[mat]
+        alive_next = (~miss) & (refl > 0.0) & alive
+
         occ_bits = jnp.zeros((N_pad,), jnp.int32)
         if config.shadows:
             hit = ids >= 0
@@ -179,48 +358,104 @@ def _render_slab_ring(scene, config, tri_ids_loc, row0, nrows, axis, n):
                 dist = jnp.sqrt(jnp.sum(to_l * to_l, axis=-1))
                 ldir = to_l / jnp.maximum(dist, 1e-20)[..., None]
                 _ids_s, t_s = _ring_closest(
-                    packed, config, p_off, ldir, hit, axis, n,
+                    packed, config, p_off, ldir, hit, axis, n, T_global, t0,
                     tmax=dist - C.RAY_OFFSET_EPS,
                 )
                 occ = hit & (t_s < dist - C.RAY_OFFSET_EPS)
                 occ_bits = occ_bits | jnp.where(occ, 1 << li, 0)
         ids_list.append(ids[:n_pix])
         occ_list.append(occ_bits[:n_pix])
-        o_p, d_p, alive = p_off, refl_dir, alive_next
+        o_p, d_p, alive = sg(p_off), sg(refl_dir), alive_next
 
     ids = jnp.stack(ids_list)
     occ = jnp.stack(occ_list)
     miss = ids < 0
-    is_tri = (~miss) & (ids < T)
-    prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
+    is_tri = (~miss) & (ids < T_global)
+    prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T_global))
     recs = HitRecords(prim=prim, is_tri=is_tri, occ=occ)
     colors = shade_from_records(
-        scene, o, d, recs, config.max_depth, config.shadows
+        scene_loc, o, d, recs, config.max_depth, config.shadows,
+        gather_fn=ring_rows,
     )
     return colors.reshape(nrows, W, 3)
 
 
-@partial(jax.jit, static_argnames=("config", "mesh", "axis"))
+class ShardParts(tuple):
+    """(tloc, tri_sh, tmat_sh, t0s, cnts, T_global) — host-built shard
+    topology from prepare_scene_sharded (all integer arrays: freezing it
+    across optimization steps is exactly the frozen-topology convention
+    the clustered path already uses)."""
+
+
+def prepare_scene_sharded(scene, tri_ids, n: int):
+    """Host-side prepare for ring rendering: renumber the (concrete) scene
+    into cluster-major triangle order and cut the n shard slices.  Returns
+    (scene2, ShardParts); pass scene2 (or any same-topology update of it —
+    moved vertices, new materials) with the parts to
+    render_scene_sharded_prepared, which is jit/grad-safe."""
+    scene2, tri_ids2 = renumber_by_clusters(scene, tri_ids)
+    tloc, tri_sh, tmat_sh, t0s, cnts, _tmax = shard_scene_clusters(
+        scene2, tri_ids2, n)
+    T_global = int(np.asarray(scene2.triangles).shape[0])
+    return scene2, ShardParts((tloc, tri_sh, tmat_sh, t0s, cnts, T_global))
+
+
+def render_scene_sharded_prepared(scene2, config: RenderConfig,
+                                  parts: ShardParts, mesh: Mesh,
+                                  axis: str = TILE_AXIS):
+    """Ring render of a prepared (renumbered) scene — differentiable and
+    safe to call under jit/grad (no host work)."""
+    tloc, tri_sh, tmat_sh, t0s, cnts, T_global = parts
+    # the replicated scene ships WITHOUT its triangle rows (dummy (1, 3)):
+    # the real rows enter sharded
+    slim = dataclasses.replace(
+        scene2,
+        triangles=jnp.zeros((1, 3), jnp.int32),
+        tri_mat=jnp.zeros((1,), jnp.int32),
+    )
+    return _render_scene_sharded_jit(
+        slim, config, tloc, tri_sh, tmat_sh, t0s, cnts, mesh, axis,
+        T_global)
+
+
 def render_scene_sharded(scene, config: RenderConfig, tri_ids, mesh: Mesh,
                          axis: str = TILE_AXIS):
-    """Render with BOTH the image and the cluster set sharded over `mesh`.
+    """Render with the image, the cluster set AND the shading tables
+    sharded over `mesh` (>HBM scenes: per-device triangle-derived bytes
+    scale as 1/n — see shard_scene_clusters).
 
-    tri_ids: the full (C, 128) cluster topology from prepare()/build_clusters
-    (host-concrete or already device-resident).  Returns the full image.
+    tri_ids: the full (C, 128) cluster topology from prepare()/
+    build_clusters (host-concrete, like the scene — for use under
+    jit/grad, call prepare_scene_sharded once outside and
+    render_scene_sharded_prepared inside).  The scene is RENUMBERED into
+    cluster-major triangle order internally (identical images up to
+    exact-t ties between different triangles; identical gradients — see
+    renumber_by_clusters).  Returns the full image.
     """
+    scene2, parts = prepare_scene_sharded(scene, tri_ids, mesh.shape[axis])
+    return render_scene_sharded_prepared(scene2, config, parts, mesh, axis)
+
+
+@partial(jax.jit,
+         static_argnames=("config", "mesh", "axis", "T_global"))
+def _render_scene_sharded_jit(scene, config: RenderConfig, tloc, tri_sh,
+                              tmat_sh, t0s, cnts, mesh: Mesh, axis: str,
+                              T_global: int):
     n = mesh.shape[axis]
     nrows = _rows_per_device(config.height, n)
-    tri_ids = _pad_clusters_to(jnp.asarray(tri_ids), n)
 
-    def body(s, tids_loc):
+    def body(s, tids_loc, tri_loc, tmat_loc, t0_loc, t0s_r, cnts_r):
         row0 = lax.axis_index(axis) * nrows
-        return _render_slab_ring(s, config, tids_loc, row0, nrows, axis, n)
+        return _render_slab_ring(s, config, tids_loc[0], tri_loc[0],
+                                 tmat_loc[0], t0_loc[0], t0s_r, cnts_r,
+                                 row0, nrows, axis, n, T_global)
 
     full = jax.shard_map(
         body,
         mesh=mesh,
-        in_specs=(P(), P(axis, None)),
+        in_specs=(P(), P(axis, None, None), P(axis, None, None),
+                  P(axis, None), P(axis), P(), P()),
         out_specs=P(axis, None, None),
         check_vma=False,
-    )(scene, tri_ids)
+    )(scene, tloc, tri_sh, tmat_sh, t0s, t0s, cnts)
     return full[: config.height]
