@@ -97,12 +97,20 @@ def _reflect3(d, n):
     return _sub3(d, _scale3(n, 2.0 * _dot3(d, n)))
 
 
-def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
+def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None):
     """Render RAYS_ flat pixels starting at pix0 (traced i32 scalar).
 
     glob (1, NGLOB) f32; wtri (8, 6·T_pad); wsph (8, 2·S_pad);
-    attrs (T_pad + S_pad, ACOLS).  Returns colors (3, R).
+    attrs (T_pad + S_pad, ACOLS).  Returns (colors (3, R), occs list of
+    (1, R) i32 per depth — bit l ⇔ light l occluded).
     statics: (H, W, max_depth, shadows, nb_t, nb_s, n_lights, R).
+
+    `occ_rec`: per-depth occlusion records from a prior forward.  When
+    given, the shadow-ray any-hit passes are SKIPPED and visibility comes
+    from the records — occlusion is piecewise-constant (its cotangent is
+    exactly zero), so the backward replay at fixed records is the exact
+    vjp while deleting n_lights × (nb_t + nb_s) matmul+epilogue passes per
+    depth from the replay (the bulk of the r2 bwd kernel's 2× fwd cost).
     """
     H, W, max_depth, shadows, nb_t, nb_s, n_lights, R, TLB, SLB = statics
     f32 = jnp.float32
@@ -252,6 +260,7 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
     accum = tuple(jnp.zeros((1, R), f32) for _ in range(3))
     thr = jnp.ones((1, R), f32)
     alive = jnp.ones((1, R), bool)
+    occs = []
 
     for _depth in range(max_depth + 1):
         t, a, u, v = closest(o, d)
@@ -286,6 +295,7 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
         color = tuple(ka[c] * ambient[c] for c in range(3))
         view = _neg3(d)
         p_off = _add3(p, _scale3(n, C.RAY_OFFSET_EPS))
+        occ_bits = jnp.zeros((1, R), jnp.int32)
         for li in range(n_lights):
             lpos = g3(PK.NGLOB_BASE + 3 * li)
             lcol = g3(PK.NGLOB_BASE + 3 * n_lights + 3 * li)
@@ -297,14 +307,19 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
             rdotv = jnp.maximum(_dot3(refl_l, view), 0.0)
             safe_rv = jnp.where(rdotv > 0.0, rdotv, 1.0)
             spec = jnp.where((ndotl > 0.0) & (rdotv > 0.0), safe_rv**shin, 0.0)
-            if shadows:
-                vis = 1.0 - occluded(p_off, ldir, dist - C.RAY_OFFSET_EPS).astype(f32)
-            else:
+            if not shadows:
                 vis = jnp.ones((1, R), f32)
+            elif occ_rec is not None:
+                vis = 1.0 - ((occ_rec[_depth] >> li) & 1).astype(f32)
+            else:
+                occ = occluded(p_off, ldir, dist - C.RAY_OFFSET_EPS)
+                occ_bits = occ_bits | jnp.where(occ, 1 << li, 0)
+                vis = 1.0 - occ.astype(f32)
             color = tuple(
                 color[c] + vis * lcol[c] * (kd[c] * ndotl + ks[c] * spec)
                 for c in range(3)
             )
+        occs.append(occ_bits)
 
         color = _where3(hit, color, bg)
         live = thr * alive.astype(f32)
@@ -315,32 +330,42 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics):
         o = p_off
         d = _reflect3(d, n)
 
-    return tuple(jnp.clip(accum[c], C.CLAMP_LO, C.CLAMP_HI) for c in range(3))
+    return (tuple(jnp.clip(accum[c], C.CLAMP_LO, C.CLAMP_HI)
+                  for c in range(3)), occs)
 
 
 # ---------------------------------------------------------------------------
 # pallas kernels
 # ---------------------------------------------------------------------------
-def _fwd_kernel(off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, out_ref, *, statics):
+def _fwd_kernel(off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, out_ref,
+                occ_ref, *, statics):
     R = statics[7]  # rays per tile (statics ends with tlb, slb)
+    max_depth = statics[2]
     pix0 = off_ref[0, 0] + pl.program_id(0) * R
-    c0, c1, c2 = _tile_color(
+    (c0, c1, c2), occs = _tile_color(
         glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...], pix0, statics
     )
     out_ref[0:1, :] = c0
     out_ref[1:2, :] = c1
     out_ref[2:3, :] = c2
+    for depth in range(max_depth + 1):
+        occ_ref[depth : depth + 1, :] = occs[depth]
 
 
 def _bwd_kernel(
-    off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, g_ref,
+    off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, occ_ref, g_ref,
     dglob_ref, dwtri_ref, dwsph_ref, dattrs_ref, *, statics,
 ):
     R = statics[7]  # rays per tile (statics ends with tlb, slb)
+    max_depth = statics[2]
     pix0 = off_ref[0, 0] + pl.program_id(0) * R
+    # occlusion records from the forward: visibility is piecewise-constant
+    # (zero cotangent), so replaying at FIXED records is the exact vjp and
+    # the shadow any-hit passes vanish from the replay
+    occ_rec = [occ_ref[d : d + 1, :] for d in range(max_depth + 1)]
 
     def f(gl, wt, ws, at):
-        return _tile_color(gl, wt, ws, at, pix0, statics)
+        return _tile_color(gl, wt, ws, at, pix0, statics, occ_rec=occ_rec)[0]
 
     _, vjp = jax.vjp(f, glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...])
     dgl, dwt, dws, dat = vjp((g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :]))
@@ -386,13 +411,14 @@ def _render_core(statics, packed: PackedScene, off_i):
 def _render_core_fwd(statics, packed, off_i):
     (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix, tlb, slb) = statics
     ntiles = -(-n_pix // RAYS)
+    D = max_depth + 1
     tile_statics = (H, W, max_depth, shadows, nb_t, nb_s, n_lights, RAYS, tlb, slb)
     glob = _glob_padded(packed)
     # pixel offset stays int32 end to end: a float32 carry loses odd offsets
     # above 2^24 pixels (4096² images); int custom_vjp args take a float0
     # cotangent in bwd
     off = jnp.asarray(off_i, jnp.int32).reshape(1, 1)
-    out = pl.pallas_call(
+    out, occ = pl.pallas_call(
         functools.partial(_fwd_kernel, statics=tile_statics),
         grid=(ntiles,),
         in_specs=[
@@ -402,16 +428,23 @@ def _render_core_fwd(statics, packed, off_i):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((3, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((3, ntiles * RAYS), jnp.float32),
+        out_specs=[
+            pl.BlockSpec((3, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((D, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((3, ntiles * RAYS), jnp.float32),
+            jax.ShapeDtypeStruct((D, ntiles * RAYS), jnp.int32),
+        ],
         interpret=_interpret(),
     )(off, glob, packed.wtri, packed.wsph, packed.attrs)
-    return out, (packed, off_i)
+    return out, (packed, off_i, occ)
 
 
 def _render_core_bwd(statics, res, g):
-    packed, off_i = res
+    packed, off_i, occ = res
     (H, W, max_depth, shadows, nb_t, nb_s, n_lights, n_pix, tlb, slb) = statics
+    D = max_depth + 1
     # backward tile width scales inversely with resident primitive sublanes:
     # the vjp replay live set is O(total_sublanes x rays), so small scenes
     # afford full-width tiles (fewer grid steps, less fixed overhead)
@@ -432,6 +465,9 @@ def _render_core_bwd(statics, res, g):
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (D, rays_bwd), lambda t: (0, t), memory_space=pltpu.VMEM
+            ),
             pl.BlockSpec(
                 (3, rays_bwd), lambda t: (0, t), memory_space=pltpu.VMEM
             ),
@@ -455,7 +491,7 @@ def _render_core_bwd(statics, res, g):
             jax.ShapeDtypeStruct(packed.attrs.shape, jnp.float32),
         ],
         interpret=_interpret(),
-    )(off, glob, packed.wtri, packed.wsph, packed.attrs, g)
+    )(off, glob, packed.wtri, packed.wsph, packed.attrs, occ, g)
     d_packed = PackedScene(
         wtri=dwtri,
         wsph=dwsph,
