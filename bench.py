@@ -130,7 +130,7 @@ def run_verify() -> int:
          "bvh", ("vertices", "light_color")),
         ("c5-clusters-tex",
          lambda: configs.config5_multimesh(48, 64, n_blobs=2, subdiv=4),
-         "bvh", ("light_color",)),
+         "bvh", ("light_color", "textures", "vertices")),
         ("c4-grid", lambda: configs.config4_bunny(48, 48, subdiv=4), "grid",
          ("light_color",)),
     ]
@@ -181,6 +181,92 @@ def run_verify() -> int:
             }
         )
         print(f"[verify] {results[-1]}", file=sys.stderr)
+
+    # ---- on-silicon kernel-equivalence cases (VERDICT r2 item 6): the
+    # equalities previously proven only in interpret mode.  Records are
+    # integers — equality must be EXACT.
+    from tpurt.kernels import traversal as TV
+    from tpurt.kernels.packc import pack_clusters
+
+    def eq_case(name, fn):
+        nonlocal ok_all
+        t0 = time.time()
+        try:
+            mism = int(fn())
+            ok = mism == 0
+        except Exception as e:  # a failed compile is a failed case
+            print(f"[verify] {name} raised: {e}", file=sys.stderr)
+            mism, ok = -1, False
+        ok_all = ok_all and ok
+        results.append({"case": name, "plan": "equivalence",
+                        "mismatches": mism, "ok": ok,
+                        "secs": round(time.time() - t0, 1)})
+        print(f"[verify] {results[-1]}", file=sys.stderr)
+
+    def wavefront_vs_multibounce():
+        scene, cfg = configs.config3_spheres(64, 64)
+        plan = prepare(scene, cfg, accel="bvh")
+
+        @jax.jit
+        def both(s):
+            packed = pack_clusters(s, plan.tri_ids)
+            ids_w, occ_w = TV._wavefront_records(s, cfg, packed, 0,
+                                                 cfg.height)
+            ids_m, occ_m, _, _ = TV.trace_records(packed, cfg, 0, cfg.height)
+            ids_m = TV._untile(ids_m, cfg.height, cfg.width)
+            occ_m = TV._untile(occ_m, cfg.height, cfg.width)
+            return (jnp.sum(ids_w != ids_m) + jnp.sum(occ_w != occ_m))
+
+        return np.asarray(both(scene))
+
+    def shadow_rebin_on_off():
+        # the Morton shadow-wavefront vs in-kernel shadows, textured scene,
+        # both compiled fresh on this device (the gate constant is dropped
+        # so the tiny scene takes the re-binned path)
+        scene, cfg = configs.config5_multimesh(48, 64, n_blobs=2, subdiv=4)
+        plan = prepare(scene, cfg, accel="bvh")
+        saved = TV.SHADOW_REBIN_MIN_CLUSTERS
+        TV.SHADOW_REBIN_MIN_CLUSTERS = 0
+        try:
+            @jax.jit
+            def occ_of(s):
+                packed = pack_clusters(s, plan.tri_ids)
+                a = TV._wavefront_records(
+                    s, cfg.replace(max_depth=1, shadow_rebin=True), packed,
+                    0, cfg.height)[1]
+                b = TV._wavefront_records(
+                    s, cfg.replace(max_depth=1, shadow_rebin=False), packed,
+                    0, cfg.height)[1]
+                return jnp.sum(a != b)
+
+            return np.asarray(occ_of(scene))
+        finally:
+            TV.SHADOW_REBIN_MIN_CLUSTERS = saved
+
+    def compact_vs_plain_shading():
+        # hit-compacted chunked shading vs the plain path on silicon:
+        # same records, images must agree to fp-fusion noise
+        from tpurt.shading import deferred as D
+
+        scene, cfg = configs.config5_multimesh(48, 64, n_blobs=2, subdiv=4)
+        plan = prepare(scene, cfg, accel="bvh")
+        saved = (D.SHADE_COMPACT, D.SHADE_COMPACT_MIN)
+        try:
+            D.SHADE_COMPACT, D.SHADE_COMPACT_MIN = True, 1
+            img_c = np.asarray(jax.jit(
+                lambda s: render(s, cfg, plan=plan))(scene))
+            D.SHADE_COMPACT = False
+            jax.clear_caches()  # flags are read at trace time
+            img_p = np.asarray(jax.jit(
+                lambda s: render(s, cfg, plan=plan))(scene))
+        finally:
+            D.SHADE_COMPACT, D.SHADE_COMPACT_MIN = saved
+            jax.clear_caches()
+        return (np.abs(img_c - img_p).max(-1) > 1e-4).sum()
+
+    eq_case("wavefront-vs-multibounce", wavefront_vs_multibounce)
+    eq_case("shadow-rebin-on-off", shadow_rebin_on_off)
+    eq_case("shade-compact-vs-plain", compact_vs_plain_shading)
     print(
         json.dumps(
             {

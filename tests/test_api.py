@@ -98,8 +98,10 @@ def test_bench_mesh_smoke(monkeypatch, capsys):
     out = capsys.readouterr().out.strip().splitlines()[-1]
     j = json.loads(out)
     assert j["mesh"] == 2
-    assert j["value"] > 0
-    assert j["rays_traced"] <= j["rays_nominal"]
+    # value rounds to 2 decimals — a tiny CPU frame can legitimately round
+    # to 0.0 Mrays/s; the meaningful invariants are the counts and timing
+    assert j["ms_per_frame"] > 0
+    assert 0 < j["rays_traced"] <= j["rays_nominal"]
 
 
 def test_count_rays_traced_clusters():
