@@ -386,6 +386,33 @@ def main():
     print(f"[bench] {dt*1e3:.2f} ms/frame over {args.iters} chained iters; "
           f"rays nominal={rays} traced={traced}", file=sys.stderr)
 
+    # gradient-rays/s as a first-class metric (BASELINE.json:2 names it
+    # separately): in fwdbwd mode also time the forward alone and charge
+    # the backward with the difference
+    grad_extra = {}
+    if args.mode == "fwdbwd":
+        if args.mesh is not None:
+            from tpurt.dist.shard import render_sharded as _rs
+
+            fwd_fn = jax.jit(lambda s: _rs(s, cfg, mesh, plan=plan))
+        else:
+            fwd_fn = jax.jit(lambda s: render(s, cfg, plan=plan))
+        fetch(fwd_fn(scene))
+        t0 = time.time()
+        out = None
+        for _ in range(args.iters):
+            out = fwd_fn(scene)
+        fetch(out)
+        dt_f = (time.time() - t0) / args.iters
+        dt_b = max(dt - dt_f, 1e-9)
+        grad_extra = {
+            "ms_per_frame_fwd": round(dt_f * 1e3, 2),
+            "grad_mrays_traced": round(traced / dt_b / 1e6, 2),
+            "grad_mrays_nominal": round(rays / dt_b / 1e6, 2),
+        }
+        print(f"[bench] fwd alone {dt_f*1e3:.2f} ms → bwd-extra "
+              f"{dt_b*1e3:.2f} ms", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -398,6 +425,7 @@ def main():
                 "rays_traced": traced,
                 "ms_per_frame": round(dt * 1e3, 2),
                 "mesh": args.mesh,
+                **grad_extra,
             }
         )
     )

@@ -160,3 +160,33 @@ def test_kernel_records_match_oracle_records():
     prim = jnp.where(miss, -1, jnp.where(is_tri, ids_w, ids_w - T))
     np.testing.assert_array_equal(np.asarray(prim), np.asarray(recs.prim))
     np.testing.assert_array_equal(np.asarray(occ_w), np.asarray(recs.occ))
+
+
+def test_chunked_hit_points_shadow_equality(monkeypatch):
+    """The (miss, pid)-sorted chunk-cond hit-geometry recompute feeding the
+    shadow-wavefront pass (r3) must produce occlusion bit-identical to the
+    unchunked recompute — same formulas, same lanes, only skipped all-miss
+    chunks differ (and those lanes are dead)."""
+    from tpurt.shading import deferred as D
+
+    scene, cfg = configs.config5_multimesh(16, 48, n_blobs=1, subdiv=3)
+    cfg = cfg.replace(max_depth=1, shadow_rebin=True)
+    tri_ids = _plan_for(scene)
+    monkeypatch.setattr(TV, "SHADOW_REBIN_MIN_CLUSTERS", 0)
+
+    def run():
+        jax.clear_caches()
+        from tpurt.kernels.packc import pack_clusters
+
+        packed = pack_clusters(scene, tri_ids)
+        ids, occ = TV._wavefront_records(scene, cfg, packed, 0, cfg.height)
+        return np.asarray(ids), np.asarray(occ)
+
+    monkeypatch.setattr(D, "SHADE_COMPACT", False)
+    ids0, occ0 = run()
+    monkeypatch.setattr(D, "SHADE_COMPACT", True)
+    monkeypatch.setattr(D, "SHADE_COMPACT_MIN", 1)
+    monkeypatch.setattr(D, "SHADE_CHUNKS", 4)
+    ids1, occ1 = run()
+    assert (ids0 == ids1).all()
+    assert (occ0 == occ1).all()

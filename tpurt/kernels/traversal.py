@@ -69,8 +69,11 @@ assert RAYS in (1024, 2048, 4096), RAYS
 #: are disjoint Morton sub-cells, whose light cones genuinely differ, so
 #: finer bits thin the streamed compute.  Both capped at 16 chunk bits
 #: (int32 bit ops in the saturation mask).
-NCH = min(RAYS // 256, 16)
-NCH_SHADOW = min(RAYS // 128, 16)
+NCH = int(os.environ.get("TPURT_NCH", str(min(RAYS // 256, 16))))
+NCH_SHADOW = int(os.environ.get("TPURT_NCH_SHADOW",
+                                str(min(RAYS // 128, 16))))
+assert RAYS % NCH == 0 and RAYS % NCH_SHADOW == 0
+assert NCH <= 16 and NCH_SHADOW <= 16  # int32 bit ops in saturation masks
 #: cluster count above which the wavefront path traces shadows in the
 #: re-binned shadow kernel (measured crossover — see _wavefront_records)
 SHADOW_REBIN_MIN_CLUSTERS = int(
@@ -1409,28 +1412,74 @@ def _wavefront_records(scene, config, packed, row0, nrows):
 
     N_pad = -(-n_pix // RAYS) * RAYS
 
-    def shadow_occ(o_cur, d_cur, ids):
-        """Occlusion bits for one bounce's hits, via the re-binned shadow
-        pass.  Hit geometry is recomputed on stop_gradient values with the
-        same formulas as the shading replay (XLA CSEs the forward ops);
-        ray construction matches whitted_loop's in-kernel shadows."""
+    def hit_points(o_cur, d_cur, ids):
+        """(p, p_off) for one bounce's hits, recomputed on stop_gradient
+        values with the same formulas as the shading replay.  On big
+        mostly-miss frames (the compacted-shading regime) the recompute is
+        chunked over (miss, pid)-sorted lanes with chunks past the last
+        hit cond-skipped — config 5 @1080p: only ~15% of pixels hit, yet
+        the full-lane recompute (wide rows gather + t/u/v + normal math at
+        2M lanes) measured 122 ms standalone."""
         from tpurt.shading.deferred import (_build_shadepack,
                                             _gather_shaderows,
-                                            _hit_geometry, _recompute_tuv)
+                                            _hit_geometry, _recompute_tuv,
+                                            _shade_compact_on,
+                                            SHADE_COMPACT_MIN, SHADE_CHUNKS)
 
         # same gather table (and hence the same HLO) as the shading
         # replay's forward ops — XLA CSEs the two recomputes
         pack = _build_shadepack(scene_sg)
-        miss = ids < 0
-        is_tri = (~miss) & (ids < T)
-        prim = jnp.where(miss, -1, jnp.where(is_tri, ids, ids - T))
-        rows = _gather_shaderows(scene_sg, jnp.maximum(prim, 0), pack)
-        t, u, v = _recompute_tuv(scene_sg, o_cur, d_cur, prim, is_tri,
-                                 rows=rows)
-        p, n, _ = _hit_geometry(scene_sg, o_cur, d_cur, t, prim, is_tri, u, v,
-                                rows=rows)
-        p_off = p + n * C.RAY_OFFSET_EPS
-        alive = ~miss
+
+        def geom_of(idc, oc, dc):
+            is_tri = (idc >= 0) & (idc < T)
+            prim = jnp.where(idc < 0, -1, jnp.where(is_tri, idc, idc - T))
+            rows = _gather_shaderows(scene_sg, jnp.maximum(prim, 0), pack)
+            t, u, v = _recompute_tuv(scene_sg, oc, dc, prim, is_tri,
+                                     rows=rows)
+            p, nrm, _ = _hit_geometry(scene_sg, oc, dc, t, prim, is_tri,
+                                      u, v, rows=rows)
+            return p, p + nrm * C.RAY_OFFSET_EPS
+
+        N = ids.shape[0]
+        if N < SHADE_COMPACT_MIN or not _shade_compact_on(T, N):
+            return geom_of(ids, o_cur, d_cur)
+        miss0 = ids < 0
+        key0 = jnp.where(miss0, jnp.int32(2 ** 30), ids)
+        prm = jnp.argsort(key0)
+        ipr = jnp.argsort(prm)
+        n_hit = jnp.sum((~miss0).astype(jnp.int32))
+        NCHK = SHADE_CHUNKS
+        B = -(-N // NCHK)
+        npad = B * NCHK - N
+
+        def srt(x, fill):
+            xs = x[prm]
+            if npad:
+                xs = jnp.concatenate(
+                    [xs, jnp.full((npad,) + x.shape[1:], fill, xs.dtype)])
+            return xs.reshape(NCHK, B, *x.shape[1:])
+
+        def body(xs):
+            ci, idc, oc, dc = xs
+            return lax.cond(
+                ci * B < n_hit, lambda _: geom_of(idc, oc, dc),
+                lambda _: (jnp.zeros((B, 3), jnp.float32),
+                           jnp.zeros((B, 3), jnp.float32)), 0)
+
+        p_s, poff_s = lax.map(
+            body, (jnp.arange(NCHK), srt(ids, -1), srt(o_cur, 0.0),
+                   srt(d_cur, 0.0)))
+        # skipped chunks hold zeros — those lanes are miss (alive False in
+        # every consumer), exactly like the garbage-but-finite miss lanes
+        # the unchunked recompute produces
+        return (p_s.reshape(-1, 3)[ipr], poff_s.reshape(-1, 3)[ipr])
+
+    def shadow_occ(o_cur, d_cur, ids):
+        """Occlusion bits for one bounce's hits, via the re-binned shadow
+        pass; ray construction matches whitted_loop's in-kernel shadows
+        (hit geometry from hit_points above)."""
+        p, p_off = hit_points(o_cur, d_cur, ids)
+        alive = ids >= 0
         key = _bin_key_pts(p, lo, hi, alive)
         perm = jnp.argsort(key)
         inv = jnp.argsort(perm)
