@@ -184,8 +184,15 @@ def _ring_closest(packed, config, o, d, alive, axis, n, T_global, t0,
     ring) so the kernel's live-tile skip fires and the tiles the surviving
     rays do occupy stay coherent; results scatter back by the inverse
     permutation before the merge, which is order-independent (min-fold
-    with an exact gid tie rule), so compaction is exact."""
-    from tpurt.kernels.traversal import _bin_key, trace_bounce
+    with an exact gid tie rule), so compaction is exact.
+
+    COMM/COMPUTE OVERLAP: when the packet splits evenly, rays travel as
+    TWO independent half-packets interleaved per step — half A's ppermute
+    has no data dependence on half B's trace, so XLA's async collective
+    scheduler hides each permute behind the other half's kernel (the
+    ring-attention pipelining recipe).  Exact: the halves never interact
+    until the final concat."""
+    from tpurt.kernels.traversal import RAYS, _bin_key, trace_bounce
 
     N = o.shape[0]
     Tmax = packed.n_tris                      # local (padded) triangle count
@@ -194,18 +201,22 @@ def _ring_closest(packed, config, o, d, alive, axis, n, T_global, t0,
     no_tmax = tmax is None
     if no_tmax:
         tmax = jnp.full((N,), C.T_NONE, jnp.float32)
-    state = (
-        o, d, alive,
-        jnp.full((N,), C.T_NONE, jnp.float32),
-        jnp.full((N,), -1, jnp.int32),
-        tmax,
-    )
     perm = [(i, (i + 1) % n) for i in range(n)]
-    for _step in range(n):
+
+    def init_state(sl):
+        Ns = sl.stop - sl.start
+        return (
+            o[sl], d[sl], alive[sl],
+            jnp.full((Ns,), C.T_NONE, jnp.float32),
+            jnp.full((Ns,), -1, jnp.int32),
+            tmax[sl],
+        )
+
+    def trace_merge(state, step):
         o_c, d_c, al_c, bt, bid, tm = state
         ent, hitbox = _root_entry(lo, hi, o_c, d_c)
         keep = hitbox & (ent <= bt)
-        if _step == 0 and packed.n_sph_blocks > 0:
+        if step == 0 and packed.n_sph_blocks > 0:
             # resident spheres are REPLICATED, not part of any shard's
             # cluster box: fold them once by keeping every ray at step 0
             # (their hits then seed bt for the later shards' skip test)
@@ -235,9 +246,23 @@ def _ring_closest(packed, config, o, d, alive, axis, n, T_global, t0,
             ids_s < 0, ids_s,
             jnp.where(ids_s < Tmax, ids_s + t0, ids_s - Tmax + T_global))
         bt, bid = _merge(bt, bid, t_s, ids_g)
-        state = lax.ppermute((o_c, d_c, al_c, bt, bid, tm), axis, perm)
-    _, _, _, bt, bid, _ = state
-    return bid, bt
+        return (o_c, d_c, al_c, bt, bid, tm)
+
+    halves = (
+        [slice(0, N // 2), slice(N // 2, N)]
+        if n > 1 and (N // 2) % RAYS == 0 and N % 2 == 0
+        else [slice(0, N)]
+    )
+    states = [init_state(sl) for sl in halves]
+    for step in range(n):
+        states = [
+            lax.ppermute(trace_merge(st, step), axis, perm) for st in states
+        ]
+    bids = jnp.concatenate([st[4] for st in states]) if len(states) > 1 \
+        else states[0][4]
+    bts = jnp.concatenate([st[3] for st in states]) if len(states) > 1 \
+        else states[0][3]
+    return bids, bts
 
 
 def _ring_rows(pack_loc, pid, axis, n, t0s, cnts):
@@ -303,7 +328,9 @@ def _render_slab_ring(scene, config, tri_ids_loc, tri_loc, tmat_loc, t0,
     Tmax = tri_loc.shape[0]
     W = config.width
     n_pix = nrows * W
-    N_pad = -(-n_pix // RAYS) * RAYS
+    # pad to an even tile count so the ring's two-half pipeline engages
+    quantum = 2 * RAYS if n > 1 else RAYS
+    N_pad = -(-n_pix // quantum) * quantum
 
     # the differentiable shading slice: (Tmax, K) built from replicated
     # vertex tables + this shard's triangle rows

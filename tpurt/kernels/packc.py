@@ -63,10 +63,20 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
     flat = tri_ids.reshape(-1)
 
     tri = scene.triangles[flat]                   # (C*128, 3)
-    v0 = scene.vertices[tri[:, 0]]
-    v1 = scene.vertices[tri[:, 1]]
-    v2 = scene.vertices[tri[:, 2]]
-    e1, e2 = v1 - v0, v2 - v0
+    # ONE merged [pos | normal?] per-vertex table gathered once per corner:
+    # 3 wide gathers instead of 6 narrow ones — pack_clusters runs EVERY
+    # frame (in-jit AABB refit) and measured 54 ms at 1M tris, gather-bound
+    # (the same lesson as the shading tables, design.md item 13).  Column
+    # slices keep every downstream value the same subtraction/order.
+    if scene.smooth:
+        vtab = jnp.concatenate([scene.vertices, scene.vnormals], axis=-1)
+    else:
+        vtab = scene.vertices
+    g0 = vtab[tri[:, 0]]
+    g1 = vtab[tri[:, 1]]
+    g2 = vtab[tri[:, 2]]
+    v0 = g0[:, 0:3]
+    e1, e2 = g1[:, 0:3] - v0, g2[:, 0:3] - v0
 
     groups = PK.tri_form_groups(v0, e1, e2)       # (8, 6, C*128)
     # kept 4D (C, 8, 6, LANES): the traversal kernel DMA-gathers several
@@ -76,9 +86,9 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
     wtri_c = groups.reshape(8, 6, Ccount, LANES).transpose(2, 0, 1, 3)
 
     if scene.smooth:
-        n0 = scene.vnormals[tri[:, 0]]
-        n1 = scene.vnormals[tri[:, 1]]
-        n2 = scene.vnormals[tri[:, 2]]
+        n0 = g0[:, 3:6]
+        n1 = g1[:, 3:6]
+        n2 = g2[:, 3:6]
     else:
         from tpurt.core import vec
 
@@ -108,6 +118,8 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
 
     # refit AABBs from current vertices (stop-gradient: bounds are not a
     # differentiable quantity, and their motion is a visibility effect)
+    v1 = g1[:, 0:3]
+    v2 = g2[:, 0:3]
     lo = jnp.minimum(jnp.minimum(v0, v1), v2).reshape(Ccount, LANES, 3)
     hi = jnp.maximum(jnp.maximum(v0, v1), v2).reshape(Ccount, LANES, 3)
     lo = jax.lax.stop_gradient(lo.min(axis=1))    # (C, 3)
