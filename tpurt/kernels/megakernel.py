@@ -34,6 +34,7 @@ The cluster-streaming path for 70k–1M tris is tpurt/kernels/clusters.py.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -45,7 +46,10 @@ from tpurt import constants as C
 from tpurt.kernels import pack as PK
 from tpurt.kernels.pack import PackedScene, pack_scene
 
-RAYS = 1024        # forward tile width (flat pixels per grid step)
+#: forward tile width (flat pixels per grid step).  Phase-1 has no cull
+#: selectivity to protect (every primitive is tested by every ray), so
+#: fatter tiles only amortize per-grid-step overhead — A/B via env.
+RAYS = int(os.environ.get("TPURT_P1_RAYS", "1024"))
 RAYS_BWD = 256     # backward tile width (transposed live-set must fit VMEM)
 LANES = PK.LANES
 

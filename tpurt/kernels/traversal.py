@@ -162,6 +162,7 @@ def _trav_kernel(
     nch = NCH_SHADOW if mode == 2 else NCH
     RCH = R // nch
     mrow = KB + nch  # first meta row (rows: KB buckets, nch chunk bits)
+    THR_ROW = mrow + KB  # bucket-threshold keys ride the mask DMA's last row
 
     glob = glob_ref[...]
     aabb = aabb_ref[...]
@@ -421,14 +422,22 @@ def _trav_kernel(
         ok = ok & (cone_ok | ~valid)
         return ok, entry
 
-    def cull_to_smem(ok0, entry0, chunk_rows, reverse=False):
+    def cull_to_smem(ok0, entry0, chunk_rows, reverse=False, want_keys=True):
         """Emit cull results to SMEM: bucket the whole-tile survivor row
         `ok0` (1, C_pad) front-to-back by conservative entry `entry0`
         (1, C_pad), pack bucket + per-chunk mask rows into 16-bit words,
         DMA to SMEM, and compact a bucket-major survivor index list.
         `chunk_rows`: list of (nch, C_pad) bool rows (one set per shadow
         light, or the single closest-pass set) packed after the KB bucket
-        rows — the streaming loop's per-chunk compute-skip bits."""
+        rows — the streaming loop's per-chunk compute-skip bits.
+
+        `want_keys=False` (any-hit passes): skip the bucket-threshold
+        computation — only the closest pass's t-termination reads them.
+        Thresholds ride in the LAST ROW of the mask DMA (one SMEM copy +
+        wait per pass instead of two: each small VMEM→SMEM DMA costs
+        multiple µs of hard serialization, and the per-pass fixed cost IS
+        the wall — config 4 measures 45 µs/shadow-pass at 6.6 survivors).
+        """
 
         # ---- front-to-back bucketing of whole-tile survivors --------------
         # Quantize each surviving cluster's conservative entry distance into
@@ -446,21 +455,22 @@ def _trav_kernel(
         brow = lax.broadcasted_iota(jnp.int32, (KB, C_pad), 0)
         okb = (brow == buck) & ok0                    # (KB, C_pad)
         # bucket entry thresholds as order-preserving int keys → lanes
-        # 0..KB.  The threshold must be a LOWER bound on every member's
-        # entry for the t-termination skip to be exact; the arithmetic
-        # form emin + k·(span/KB) is NOT one (the multiply-truncate bucket
-        # assignment and the threshold recompute round differently, so a
-        # boundary cluster can land in bucket k with entry an ulp below
-        # the recomputed threshold).  Use the masked per-bucket MIN of the
-        # actual entries — exact by construction and tighter (gates fire
-        # earlier).  Empty buckets get _BIG (skipped; their index range is
-        # empty anyway).
-        lane_i = lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-        thr = jnp.full((1, LANES), _BIG, f32)
-        for k in range(KB):
-            mk = jnp.min(jnp.where(okb[k : k + 1, :], entry0, _BIG))
-            thr = jnp.where(lane_i == k, mk, thr)
-        keyv[0:1, :] = fkey(thr)
+        # 0..KB of the mask block's LAST row.  The threshold must be a
+        # LOWER bound on every member's entry for the t-termination skip
+        # to be exact; the arithmetic form emin + k·(span/KB) is NOT one
+        # (the multiply-truncate bucket assignment and the threshold
+        # recompute round differently, so a boundary cluster can land in
+        # bucket k with entry an ulp below the recomputed threshold).  Use
+        # the masked per-bucket MIN of the actual entries — exact by
+        # construction and tighter (gates fire earlier).  Empty buckets
+        # get _BIG (skipped; their index range is empty anyway).
+        if want_keys:
+            lane_i = lax.broadcasted_iota(jnp.int32, (1, NW), 1)
+            thr = jnp.full((1, NW), _BIG, f32)
+            for k in range(KB):
+                mk = jnp.min(jnp.where(okb[k : k + 1, :], entry0, _BIG))
+                thr = jnp.where(lane_i == k, mk, thr)
+            maskv[THR_ROW : THR_ROW + 1, :] = fkey(thr)
 
         # word-packed compaction: a serial scan of all C_pad lanes on the
         # scalar core costs ~100 µs/pass; instead pack the masks into 16-bit
@@ -510,10 +520,7 @@ def _trav_kernel(
         )
         cp = pltpu.make_async_copy(maskv, masks, ssem)
         cp.start()
-        cpk = pltpu.make_async_copy(keyv, keys_s, ksem)
-        cpk.start()
         cp.wait()
-        cpk.wait()
         scnt[0] = 0
         sovf[0] = 0
 
@@ -730,8 +737,8 @@ def _trav_kernel(
         tmaxv = jnp.max(jnp.where(alive_t, tb[...], -_BIG), axis=1,
                         keepdims=True)
         # bitcast AFTER broadcasting: tpu.bitcast lowers only for vectors
-        keyv[1:2, :] = fkey(jnp.broadcast_to(tmaxv, (1, LANES)))
-        cp = pltpu.make_async_copy(keyv.at[1], keys_s.at[1], ksem)
+        keyv[0:1, :] = fkey(jnp.broadcast_to(tmaxv, (1, LANES)))
+        cp = pltpu.make_async_copy(keyv.at[0], keys_s.at[0], ksem)
         cp.start()
         cp.wait()
 
@@ -772,9 +779,17 @@ def _trav_kernel(
             else:
                 j0 = jnp.where(ovf, n, jnp.minimum(bstart[kb], n))
                 j1 = jnp.where(ovf, n, jnp.minimum(bstart[kb + 1], n))
-                update_tmax_key(alive_t)
+                if kb == 1:
+                    # ONE tmax snapshot after the nearest bucket instead of
+                    # one vector→scalar DMA round trip per bucket: nearly
+                    # all tightening comes from bucket 0 (near geometry
+                    # wins), and a STALE (larger) tmax only weakens the
+                    # gate, never breaks the exact-skip invariant — each
+                    # DMA wait is µs-scale hard serialization and the
+                    # per-pass fixed cost is the measured wall
+                    update_tmax_key(alive_t)
 
-                @pl.when(keys_s[0, kb] <= keys_s[1, 0])
+                @pl.when(masks[THR_ROW, kb] <= keys_s[0, 0])
                 def _(j0=j0, j1=j1):
                     cluster_range(X, j0, j1, sid, True)
         return tb[...], ab[...], ub[...], vb[...]
@@ -824,7 +839,9 @@ def _trav_kernel(
         # chunks: the reversed parametrization covers the same segments)
         ok_u = jnp.any(ok, axis=0, keepdims=True)
         entry_u = jnp.min(jnp.where(ok, entry, _BIG), axis=0, keepdims=True)
-        cull_to_smem(ok_u, entry_u, [ok], reverse=SHADOW_NEAR_FIRST)
+        # any-hit never reads the bucket thresholds (no t-termination)
+        cull_to_smem(ok_u, entry_u, [ok], reverse=SHADOW_NEAR_FIRST,
+                     want_keys=False)
 
         # resident spheres first: saturation may exit before any DMA
         oo = _dot3(o3, o3)
@@ -846,7 +863,7 @@ def _trav_kernel(
         # the UNION of the block's cull bits added more epilogue work than
         # the amortized matmul dispatch saved (config4 26.9 → 23.8, config5
         # flat).  Per-cluster chunk bits keep the epilogue minimal.
-        NBLK = 8
+        NBLK = int(os.environ.get("TPURT_NBLK", "8"))
         DEPTH = 4
 
         # ---- per-chunk saturation bits -----------------------------------
@@ -1054,7 +1071,7 @@ def _trav_kernel(
 # pallas_call wrapper + public clustered render path
 # ---------------------------------------------------------------------------
 def _scratch_shapes(C_pad, nch=NCH):
-    mrows = KB + nch + KB
+    mrows = KB + nch + KB + 1  # +1: bucket-threshold key row
     return [
         pltpu.VMEM((mrows, C_pad // 16), jnp.int32),  # maskv (packed+meta)
         pltpu.SMEM((mrows, C_pad // 16), jnp.int32),  # masks (packed+meta)
@@ -1071,8 +1088,8 @@ def _scratch_shapes(C_pad, nch=NCH):
         pltpu.SemaphoreType.DMA((4, 2)),          # sems[slot, stream]
         pltpu.SemaphoreType.DMA(()),              # ssem (mask copy)
         pltpu.SMEM((KB + 1,), jnp.int32),         # bstart (bucket bounds)
-        pltpu.VMEM((2, LANES), jnp.int32),        # keyv [thresholds; tmax]
-        pltpu.SMEM((2, LANES), jnp.int32),        # keys_s
+        pltpu.VMEM((1, LANES), jnp.int32),        # keyv [tmax key]
+        pltpu.SMEM((1, LANES), jnp.int32),        # keys_s
         pltpu.SemaphoreType.DMA(()),              # ksem (key copies)
     ]
 
