@@ -15,28 +15,33 @@ run() {  # run <name> <timeout_s> <cmd...>
   tail -20 "$OUT/$name.log" >> "$OUT/sweep.log"
 }
 
-# 0. parity tier first (fast, validates kernels on real silicon)
+# 0. parity tier first (fast, validates kernels on real silicon; 10 cases
+#    incl. the three kernel-equivalence checks)
 run verify 3600 python bench.py --verify
 
-# 1. headline + per-config forward/fwdbwd
+# 1. headline + per-config forward/fwdbwd (fwdbwd also reports
+#    gradient-rays/s and the fwd-alone split)
 run bench_c3_fwdbwd 3600 python bench.py --config 3 --res 1080x1920 --mode fwdbwd
 run bench_c4_fwd    3600 python bench.py --config 4 --res 1024x1024 --mode fwd
 run bench_c5_fwd    5400 python bench.py --config 5 --res 1080x1920 --mode fwd
 run bench_c4_fwdbwd 3600 python bench.py --config 4 --res 1024x1024 --mode fwdbwd
 run bench_c5_fwdbwd 5400 python bench.py --config 5 --res 1080x1920 --mode fwdbwd
 
-# 2. cone-cull A/B (flag read at trace time; separate processes).
-#    Default is now OFF (measured loser at production res, 2026-08-19);
-#    the A/B keeps checking the ON side in case scene shapes change.
-TPURT_CONE_CULL=1 run bench_c4_fwd_cone 3600 python bench.py --config 4 --res 1024x1024 --mode fwd
+# 2. decompositions (real records / per-stage)
+run ablate_c4        3600 python scripts/ablate_c4.py
+run ablate_c5        5400 python scripts/ablate_c5.py
+run ablate_shadow    5400 python scripts/ablate_shadow.py
+run ablate_bwd_real_c5 5400 python scripts/ablate_bwd_real.py --config 5
+run ablate_p1        3600 python scripts/ablate_p1.py
+run roofline_c4      3600 python scripts/roofline_report.py
+
+# 3. A/B flags worth re-checking when scene shapes change (all measured
+#    neutral-or-worse at the current defaults — see docs/design.md):
+#    TPURT_RAYS (1024*/2048/4096), TPURT_NCH, TPURT_NCH_SHADOW,
+#    TPURT_SHADE_COMPACT (auto*), TPURT_SHADE_CHUNKS (32*),
+#    TPURT_PACK_DIRECT (auto*), TPURT_CONE_CULL (0*), TPURT_NBLK (8*),
+#    TPURT_P1_RAYS / TPURT_P1_RAYS_BWD, TPURT_SHADOW_REBIN_MIN_CLUSTERS.
+TPURT_SHADE_COMPACT=0 run bench_c5_fwdbwd_nocompact 5400 python bench.py --config 5 --res 1080x1920 --mode fwdbwd
 TPURT_CONE_CULL=1 run bench_c5_fwd_cone 5400 python bench.py --config 5 --res 1080x1920 --mode fwd
-
-# 3. backward decomposition (scatter costs)
-run ablate_bwd_c5 5400 python scripts/ablate_bwd.py --config 5
-run ablate_bwd_c4 3600 python scripts/ablate_bwd.py --config 4
-
-# 4. material / texel segsum A/Bs
-TPURT_MAT_SEGSUM=0 run ablate_bwd_c5_nomatseg 5400 python scripts/ablate_bwd.py --config 5
-TPURT_TEX_SEGSUM=1 run ablate_bwd_c5_texseg 5400 python scripts/ablate_bwd.py --config 5
 
 echo "SWEEP DONE $(date)" | tee -a "$OUT/sweep.log"

@@ -454,6 +454,7 @@ def _render_core_bwd(statics, res, g):
     # afford full-width tiles (fewer grid steps, less fixed overhead)
     sublanes = nb_t * tlb + nb_s * slb
     rays_bwd = max(RAYS_BWD, min(RAYS, 2 ** (15 - max(sublanes, 1).bit_length())))
+    rays_bwd = int(os.environ.get("TPURT_P1_RAYS_BWD", str(rays_bwd)))
     # cotangent arrives in the fwd tiling (a multiple of RAYS, which is a
     # multiple of rays_bwd); out-of-image lanes carry zero cotangent
     ntiles = g.shape[1] // rays_bwd
