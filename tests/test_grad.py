@@ -196,3 +196,43 @@ def test_shade_compact_matches_plain(monkeypatch):
                 np.testing.assert_allclose(
                     a, b, rtol=1e-4,
                     atol=1e-4 * max(1.0, np.abs(a).max()))
+
+
+def test_segsum_flag_grads_match_naive(monkeypatch):
+    """TPURT_TEX_SEGSUM / TPURT_MAT_SEGSUM contracts: the factored one-hot
+    matmul transposes must be allclose to the scatter-add backward they
+    replace on a small textured clustered scene (both flags are default-off
+    A/B constants kept for other scene shapes — without this test a
+    violated precondition would silently corrupt grads)."""
+    from tpurt.render import prepare, render_and_grad
+    from tpurt.shading import deferred
+
+    scene, cfg = configs.config5_multimesh(24, 32, n_blobs=2, subdiv=4)
+    plan = prepare(scene, cfg)
+
+    def run():
+        jax.clear_caches()  # flags are read at trace time
+        (_, _), grads = render_and_grad(
+            scene, lambda im: jnp.sum(im**2), cfg, plan=plan)
+        return grads
+
+    monkeypatch.setattr(deferred, "TEX_SEGSUM", False)
+    monkeypatch.setattr(deferred, "MAT_SEGSUM", False)
+    g0 = run()
+    monkeypatch.setattr(deferred, "TEX_SEGSUM", True)
+    g1 = run()
+    monkeypatch.setattr(deferred, "TEX_SEGSUM", False)
+    monkeypatch.setattr(deferred, "MAT_SEGSUM", True)
+    g2 = run()
+    for g in (g1, g2):
+        for leaf in ("textures", "light_color", "vertices"):
+            a = np.asarray(getattr(g0, leaf))
+            b = np.asarray(getattr(g, leaf))
+            assert np.isfinite(b).all(), leaf
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(a).max()),
+                err_msg=leaf)
+        am = np.asarray(g0.materials.kd)
+        bm = np.asarray(g.materials.kd)
+        np.testing.assert_allclose(am, bm, rtol=1e-4,
+                                   atol=1e-5 * max(1.0, np.abs(am).max()))

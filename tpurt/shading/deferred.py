@@ -70,8 +70,7 @@ SORTED_SCATTER = os.environ.get("TPURT_SORTED_SCATTER", "0") != "0"
 #: round-trips through exact custom-vjp gathers, so images agree to
 #: compiler noise (XLA picks different FMA/fusion at chunk shapes; measured
 #: ulp-level ≤3e-5) and gradients differ from the unchunked path only in
-#: scatter accumulation order (allclose).  Gated to big bundles — the argsort + chunk machinery loses
-#: below ~128k pixels.
+#: scatter accumulation order (allclose).
 #: "auto" gates compaction to scenes where the scatters it shrinks are the
 #: dominant backward cost — the same 3·T > N regime as the direct vertex
 #: transpose below.  Measured: config 5 (big T, 15% hit) compact wins
