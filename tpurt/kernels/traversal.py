@@ -108,6 +108,9 @@ KB = 4
 #: extra per-cluster VPU work outweighs the interval-mixing slack it
 #: trims (docs/design.md geometry note predicted exactly this)
 CONE_CULL = os.environ.get("TPURT_CONE_CULL", "0") != "0"
+#: division-free any-hit epilogue — MEASUREMENT flag only (rounding
+#: differs from the division-based oracle at knife edges; see tri_hit)
+FAST_ANYHIT = os.environ.get("TPURT_FAST_ANYHIT", "0") != "0"
 _BIG = 3.0e37
 
 
@@ -597,7 +600,16 @@ def _trav_kernel(
     def tri_hit(wblk, X, t_hi, nsub):
         """Lean any-hit variant: → hit (nsub, chunk) bool.  Skips the
         where(hit, t, T_NONE) select and the second t-vs-tmax compare the
-        fold path pays (t_hi here IS the occlusion band end)."""
+        fold path pays (t_hi here IS the occlusion band end).
+
+        TPURT_FAST_ANYHIT (measurement flag, default OFF): the same
+        predicate DIVISION-FREE — multiply every condition through by nd²
+        (u ≥ 0 ⇔ (uo·nd − no·ud)·nd ≥ 0 etc.; nd² ≥ MT_DET_EPS² stays
+        normal in f32).  Algebraically identical, fp-rounding DIFFERENT:
+        knife-edge occlusion bits can flip vs the division-based oracle,
+        so this cannot ship without changing geom.any_hit to the same form
+        and regolding (see CLAUDE.md backlog) — the flag exists to price
+        the win first."""
         out = lax.dot_general(
             wblk, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
@@ -605,6 +617,13 @@ def _trav_kernel(
         ).reshape(6, nsub, X.shape[1])
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
+        if FAST_ANYHIT:
+            nd2 = ndd * ndd
+            tn = -(no_ * ndd)                      # t·nd²
+            un = (uo * ndd - no_ * ud) * ndd       # u·nd²
+            vn = (vo * ndd - no_ * vd) * ndd       # v·nd²
+            hit = good & (un >= 0.0) & (vn >= 0.0) & (un + vn <= nd2)
+            return hit & (tn > C.T_MIN * nd2) & (tn < t_hi * nd2)
         t = -no_ / jnp.where(good, ndd, 1.0)
         u = uo + t * ud
         v = vo + t * vd
