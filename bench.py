@@ -350,6 +350,16 @@ def main():
             fn = jax.jit(lambda s: jax.grad(loss_m, allow_int=True)(s))
     elif args.mode == "fwd":
         fn = jax.jit(lambda s: render(s, cfg, plan=plan))
+    elif plan.kind == "phase1":
+        # the benched objective is sum(img²) = L2 vs a zero target: the
+        # fused train kernel computes the identical loss+gradients in ONE
+        # Pallas pass (no separate forward kernel; equivalence tested in
+        # tests/test_kernels.py)
+        from tpurt.kernels import megakernel as MK
+
+        tgt0 = jnp.zeros((cfg.height, cfg.width, 3), jnp.float32)
+        fn = jax.jit(lambda s: MK.l2_loss_and_grad(s, tgt0, cfg))
+        print("[bench] fused phase-1 L2 train kernel", file=sys.stderr)
     else:
         def loss(s):
             return jnp.sum(render(s, cfg, plan=plan) ** 2)

@@ -101,3 +101,32 @@ def test_render_auto_dispatches_pallas():
     assert _resolve_backend(cfg, scene) == "pallas"
     scene5, cfg5 = configs.config5_multimesh(16, 16, n_blobs=1, subdiv=1)
     assert _resolve_backend(cfg5, scene5) == "oracle"
+
+
+def test_fused_l2_train_kernel_matches_generic():
+    """megakernel.l2_loss_and_grad (ONE Pallas pass for loss + gradients —
+    the phase-1 production train-step shape, also what bench.py fwdbwd
+    measures for phase-1 plans) must match jax.grad of the generic render
+    path on loss and every float leaf."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.kernels import megakernel as MK
+    from tpurt.render import render_and_grad
+
+    for build in (configs.config1_sphere, configs.config3_spheres):
+        scene, cfg = build(24, 24)
+        target = jax.random.uniform(jax.random.PRNGKey(1),
+                                    (cfg.height, cfg.width, 3))
+        loss_f, g_f = MK.l2_loss_and_grad(scene, target, cfg)
+
+        (loss_g, _), g_g = render_and_grad(
+            scene, lambda im: jnp.sum((im - target) ** 2), cfg)
+        np.testing.assert_allclose(float(loss_f), float(loss_g), rtol=1e-5)
+        for la, lb in zip(jax.tree_util.tree_leaves(g_f),
+                          jax.tree_util.tree_leaves(g_g)):
+            a, b = np.asarray(la), np.asarray(lb)
+            if not np.issubdtype(a.dtype, np.floating):
+                continue
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-4 * max(1.0, np.abs(b).max()))

@@ -387,6 +387,123 @@ def _bwd_kernel(
     dattrs_ref[...] += dat
 
 
+def _fused_kernel(off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, tgt_ref,
+                  sq_ref, dglob_ref, dwtri_ref, dwsph_ref, dattrs_ref, *,
+                  statics):
+    """ONE pass for the L2 train objective: replay the tile forward under
+    jax.vjp (this IS the forward — occlusion and all), derive the loss
+    cotangent in-kernel (2·(color − target)), and accumulate scene
+    cotangents — the separate forward kernel vanishes from fwd+bwd."""
+    H, W, R = statics[0], statics[1], statics[7]
+    pix0 = off_ref[0, 0] + pl.program_id(0) * R
+
+    def f(gl, wt, ws, at):
+        return _tile_color(gl, wt, ws, at, pix0, statics)[0]
+
+    (c0, c1, c2), vjp = jax.vjp(
+        f, glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...])
+    # out-of-image lanes render garbage (the flat-pixel pad); zero their
+    # error so neither the loss nor the cotangent sees them
+    pix = pix0 + lax.broadcasted_iota(jnp.int32, (1, R), 1)
+    valid = (pix < H * W).astype(jnp.float32)
+    e0 = (c0 - tgt_ref[0:1, :]) * valid
+    e1 = (c1 - tgt_ref[1:2, :]) * valid
+    e2 = (c2 - tgt_ref[2:3, :]) * valid
+    sq_ref[0:1, :] = e0 * e0 + e1 * e1 + e2 * e2
+    dgl, dwt, dws, dat = vjp((2.0 * e0, 2.0 * e1, 2.0 * e2))
+
+    @pl.when(pl.program_id(0) == 0)
+    def _():
+        dglob_ref[...] = jnp.zeros_like(dglob_ref)
+        dwtri_ref[...] = jnp.zeros_like(dwtri_ref)
+        dwsph_ref[...] = jnp.zeros_like(dwsph_ref)
+        dattrs_ref[...] = jnp.zeros_like(dattrs_ref)
+
+    dglob_ref[...] += dgl
+    dwtri_ref[...] += dwt
+    dwsph_ref[...] += dws
+    dattrs_ref[...] += dat
+
+
+def l2_loss_and_grad(scene, target, config):
+    """Fused phase-1 train objective: ``sum((render(scene) − target)²)``
+    and its gradients w.r.t. every float scene leaf, in ONE Pallas pass.
+
+    The generic path (``jax.grad`` of ``render``) runs the forward kernel
+    for the image AND a backward kernel that replays the forward; for the
+    L2 objective the loss cotangent is derivable in-kernel, so the
+    backward replay IS the forward and the separate forward kernel
+    disappears — the production train-step shape (gradients identical to
+    the generic path up to summation order; tested).  `target` is
+    (H, W, 3)."""
+    if not supports(scene, config):
+        raise ValueError("l2_loss_and_grad is the phase-1 fast path; "
+                         "use render_and_grad for clustered scenes")
+    packed, pack_vjp = jax.vjp(pack_scene, scene)
+    H, W = config.height, config.width
+    n_pix = H * W
+    statics = _statics_for(packed, config, n_pix)
+    (H_, W_, max_depth, shadows, nb_t, nb_s, n_lights, _, tlb, slb) = statics
+    sublanes = nb_t * tlb + nb_s * slb
+    rays = max(RAYS_BWD,
+               min(RAYS, 2 ** (15 - max(sublanes, 1).bit_length())))
+    ntiles = -(-n_pix // rays)
+    n_pad = ntiles * rays
+    tile_statics = (H_, W_, max_depth, shadows, nb_t, nb_s, n_lights, rays,
+                    tlb, slb)
+    glob = _glob_padded(packed)
+    off = jnp.zeros((1, 1), jnp.int32)
+    tgt = jnp.transpose(target.reshape(n_pix, 3))
+    tgt = jnp.pad(tgt, ((0, 0), (0, n_pad - n_pix)))
+    sq, dglob, dwtri, dwsph, dattrs = pl.pallas_call(
+        functools.partial(_fused_kernel, statics=tile_statics),
+        grid=(ntiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, rays), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, rays), lambda t: (0, t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(glob.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed.wtri.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed.wsph.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(packed.attrs.shape, lambda t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((1, n_pad), jnp.float32),
+            jax.ShapeDtypeStruct(glob.shape, jnp.float32),
+            jax.ShapeDtypeStruct(packed.wtri.shape, jnp.float32),
+            jax.ShapeDtypeStruct(packed.wsph.shape, jnp.float32),
+            jax.ShapeDtypeStruct(packed.attrs.shape, jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(off, glob, packed.wtri, packed.wsph, packed.attrs, tgt)
+    d_packed = PackedScene(
+        wtri=dwtri,
+        wsph=dwsph,
+        attrs=dattrs,
+        globals=dglob[:, : packed.globals.shape[1]],
+        n_tri_blocks=packed.n_tri_blocks,
+        n_sph_blocks=packed.n_sph_blocks,
+        n_lights=packed.n_lights,
+        smooth=packed.smooth,
+        tlb=packed.tlb,
+        slb=packed.slb,
+    )
+    (d_scene,) = pack_vjp(d_packed)
+    return jnp.sum(sq), d_scene
+
+
 def _statics_for(packed: PackedScene, config, rays: int):
     return (
         config.height,
