@@ -216,11 +216,11 @@ def _ring_closest(packed, config, o, d, alive, axis, n, T_global, t0,
         o_c, d_c, al_c, bt, bid, tm = state
         ent, hitbox = _root_entry(lo, hi, o_c, d_c)
         keep = hitbox & (ent <= bt)
-        if step == 0 and packed.n_sph_blocks > 0:
+        if packed.n_sph_blocks > 0:
             # resident spheres are REPLICATED, not part of any shard's
             # cluster box: fold them once by keeping every ray at step 0
             # (their hits then seed bt for the later shards' skip test)
-            keep = jnp.ones_like(keep)
+            keep = keep | (step == 0)
         al_eff = al_c & keep
         if not no_tmax:
             al_eff = al_eff & ~(bt < tm)  # already provably occluded
@@ -253,11 +253,23 @@ def _ring_closest(packed, config, o, d, alive, axis, n, T_global, t0,
         if n > 1 and (N // 2) % RAYS == 0 and N % 2 == 0
         else [slice(0, N)]
     )
-    states = [init_state(sl) for sl in halves]
-    for step in range(n):
-        states = [
+    # ring steps as ONE scan body instead of n unrolled copies: identical
+    # ops in identical order (bit-equal to the unrolled loop), but the
+    # traversal kernel is inlined once per half instead of n times — on
+    # the interpret-mode CPU mesh (tests, dryrun_multichip) that cuts the
+    # XLA graph ~n×, which is the difference between the driver's dryrun
+    # compiling in seconds vs timing out.  Both halves advance inside the
+    # SAME body, so half A's ppermute still has no data dependence on half
+    # B's trace and XLA's async collective scheduler keeps hiding each
+    # permute behind the other half's kernel.
+    def ring_step(states, step):
+        return tuple(
             lax.ppermute(trace_merge(st, step), axis, perm) for st in states
-        ]
+        ), None
+
+    states, _ = lax.scan(ring_step,
+                         tuple(init_state(sl) for sl in halves),
+                         jnp.arange(n))
     bids = jnp.concatenate([st[4] for st in states]) if len(states) > 1 \
         else states[0][4]
     bts = jnp.concatenate([st[3] for st in states]) if len(states) > 1 \

@@ -111,6 +111,39 @@ CONE_CULL = os.environ.get("TPURT_CONE_CULL", "0") != "0"
 #: division-free any-hit epilogue — MEASUREMENT flag only (rounding
 #: differs from the division-based oracle at knife edges; see tri_hit)
 FAST_ANYHIT = os.environ.get("TPURT_FAST_ANYHIT", "0") != "0"
+#: in-kernel STAGE PROFILER (TPURT_PROF; measurement only — every value
+#: other than "" produces WRONG outputs).  Each stage re-enables one more
+#: pipeline piece, so per-pass fixed cost and per-survivor streaming cost
+#: decompose by differencing on-chip timings (scripts/prof_traversal.py):
+#:   "launch"  ray-gen + shading/record skeleton; closest/occluded return
+#:             immediately after best-init (grid + per-tile floor)
+#:   "cull"    + the conservative interval cull (result consumed, unused)
+#:   "scan"    + bucketing, word-pack matmuls, mask DMA, scalar survivor
+#:             compaction, resident-sphere fold
+#:   "stream"  + survivor DMA pipeline, per-chunk scalar bit reads, and
+#:             (any-hit) the saturation machinery — chunk COMPUTE skipped
+#:   "mmraw"   + the HIGHEST-precision intersection matmul (epilogue
+#:             reduced to one min-reduce)
+#:   "mm"      + the full t/u/v epilogue (closest pass skips the fold)
+#:   ""        full kernel (default)
+#: Stage variants never take the early exits (bests/occ stay unset), so
+#: they stream the FULL survivor list: normalize per-survivor deltas by
+#: each variant's own s_strm/s_chnk stats (traversal_stats).
+PROF = os.environ.get("TPURT_PROF", "")
+assert PROF in ("", "launch", "cull", "scan", "stream", "mmraw", "mm"), PROF
+#: intersection-matmul precision (TPURT_MM_PREC = highest | high | default).
+#: The r4 stage profiler (scripts/prof_traversal.py) measured the K=8
+#: Baldwin–Weber dot_generals as ~72% of the b0 kernel and ~91% of the
+#: shadow kernel at config 5; HIGHEST lowers to SIX bf16 MXU passes, HIGH
+#: to three (bf16x3 carries ~f32 mantissa coverage for well-conditioned
+#: sums).  Applies to the candidate-generation matmuls only (tri_math /
+#: tri_hit / sph_math); the fold's one-hot selection matmul stays HIGHEST —
+#: it transports attribute VALUES exactly and is off the critical path.
+_MM_PREC = {
+    "highest": lax.Precision.HIGHEST,
+    "high": lax.Precision.HIGH,
+    "default": lax.Precision.DEFAULT,
+}[os.environ.get("TPURT_MM_PREC", "highest")]
 _BIG = 3.0e37
 
 
@@ -180,6 +213,17 @@ def _trav_kernel(
         inputs): negative floats get their magnitude bits flipped."""
         b = lax.bitcast_convert_type(x, jnp.int32)
         return b ^ ((b >> 31) & jnp.int32(0x7FFFFFFF))
+
+    def _consume(*vals):
+        """(1, 1)-ish f32 that is always 0.0 but data-depends on `vals`:
+        stage-profiler variants add it into live scratch so the stage under
+        measurement cannot be dead-code-eliminated.  Inputs are bounded by
+        ±_BIG (cull entries, wtri forms, attrs), so the sum of full-reduce
+        mins stays finite and the threshold test never fires."""
+        acc = jnp.zeros((), f32)
+        for v in vals:
+            acc = acc + jnp.min(v.astype(f32))
+        return jnp.where(acc > 2.0 * _BIG, 1.0, 0.0)
 
     def root_hit(o3, d3):
         """(1, R) bool: can this ray possibly enter the scene root box?
@@ -585,7 +629,7 @@ def _trav_kernel(
         out = lax.dot_general(
             wblk, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
-            precision=lax.Precision.HIGHEST,
+            precision=_MM_PREC,
         ).reshape(6, nsub, X.shape[1])
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
@@ -613,7 +657,7 @@ def _trav_kernel(
         out = lax.dot_general(
             wblk, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
-            precision=lax.Precision.HIGHEST,
+            precision=_MM_PREC,
         ).reshape(6, nsub, X.shape[1])
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
@@ -635,7 +679,7 @@ def _trav_kernel(
         out = lax.dot_general(
             wb, X, (((0,), (0,)), ((), ())),
             preferred_element_type=f32,
-            precision=lax.Precision.HIGHEST,
+            precision=_MM_PREC,
         ).reshape(2, LANES, R)
         ct, cd = out[0], out[1]
         b_half = od - cd
@@ -740,11 +784,25 @@ def _trav_kernel(
                     def _(ch=ch):
                         s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
                         sl = slice(ch * RCH, (ch + 1) * RCH)
-                        tm, u, v = tri_math(
-                            wscr[slot].reshape(8, 6 * LANES), X[:, sl],
-                            C.T_MAX,
-                        )
-                        fold(tm, u, v, ascr[slot], sl, iota_ch)
+                        wblk = wscr[slot].reshape(8, 6 * LANES)
+                        if PROF == "stream":
+                            tb[:, sl] = tb[:, sl] + _consume(
+                                wblk, ascr[slot])
+                        elif PROF == "mmraw":
+                            out = lax.dot_general(
+                                wblk, X[:, sl], (((0,), (0,)), ((), ())),
+                                preferred_element_type=f32,
+                                precision=_MM_PREC,
+                            )
+                            tb[:, sl] = tb[:, sl] + _consume(
+                                out, ascr[slot])
+                        elif PROF == "mm":
+                            tm, u, v = tri_math(wblk, X[:, sl], C.T_MAX)
+                            tb[:, sl] = tb[:, sl] + _consume(
+                                tm, u, v, ascr[slot])
+                        else:
+                            tm, u, v = tri_math(wblk, X[:, sl], C.T_MAX)
+                            fold(tm, u, v, ascr[slot], sl, iota_ch)
                 return 0
 
             lax.fori_loop(0, n_seg, body, 0, unroll=False)
@@ -776,8 +834,13 @@ def _trav_kernel(
         ab[...] = jnp.zeros((TROWS, R), f32)
         ub[...] = jnp.zeros((1, R), f32)
         vb[...] = jnp.zeros((1, R), f32)
+        if PROF == "launch":
+            return tb[...], ab[...], ub[...], vb[...]
         alive_t = alive & root_hit(o3, d3)
         ok, entry = _interval_ok(o3, d3, alive_t)
+        if PROF == "cull":
+            tb[...] = tb[...] + _consume(entry, ok)
+            return tb[...], ab[...], ub[...], vb[...]
         # DMA list = union of the chunk culls (tighter than a whole-tile
         # interval test); chunk bits gate the per-chunk epilogues
         ok_u = jnp.any(ok, axis=0, keepdims=True)
@@ -789,6 +852,8 @@ def _trav_kernel(
             tm = sph_math(b, X, oo, od, C.T_MAX)
             zero = jnp.zeros_like(tm)
             fold(tm, zero, zero, sattr_ref[:, b * LANES : (b + 1) * LANES])
+        if PROF == "scan":
+            return tb[...], ab[...], ub[...], vb[...]
         n, sid = survivors()
         ovf = sovf[0] == 1
         for kb in range(KB):
@@ -850,10 +915,15 @@ def _trav_kernel(
         batch gating (r2: +40% on config 5's b0 shadow pass)."""
         X = build_X(o3, d3)
         occb[...] = jnp.zeros((1, R), jnp.int32)
+        if PROF == "launch":
+            return occb[...] > 0
         alive_t = alive & root_hit(o3, d3)
         alive_i = alive_t.astype(jnp.int32)
         o_c, d_c, tmax_c = cull_ray if cull_ray is not None else (o3, d3, tmax)
         ok, entry = _interval_ok(o_c, d_c, alive_t, tmax=tmax_c)
+        if PROF == "cull":
+            tb[...] = tb[...] + _consume(entry, ok)
+            return occb[...] > 0
         # union-of-chunks DMA list (cull chunks align 1:1 with forward-ray
         # chunks: the reversed parametrization covers the same segments)
         ok_u = jnp.any(ok, axis=0, keepdims=True)
@@ -870,6 +940,8 @@ def _trav_kernel(
             occb[...] = occb[...] | jnp.any(
                 tm < tmax, axis=0, keepdims=True
             ).astype(jnp.int32)
+        if PROF == "scan":
+            return occb[...] > 0
 
         n, sid = survivors()
 
@@ -949,13 +1021,28 @@ def _trav_kernel(
                         def _(ch=ch):
                             s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
                             sl = slice(ch * RCH, (ch + 1) * RCH)
-                            hit = tri_hit(
-                                wscr[slot].reshape(8, 6 * LANES),
-                                X[:, sl], tmax[:, sl], LANES,
-                            )
-                            occb[:, sl] = occb[:, sl] | jnp.any(
-                                hit, axis=0, keepdims=True
-                            ).astype(jnp.int32)
+                            wblk = wscr[slot].reshape(8, 6 * LANES)
+                            if PROF == "stream":
+                                occb[:, sl] = occb[:, sl] | (
+                                    _consume(wblk) > 0.5
+                                ).astype(jnp.int32)
+                            elif PROF == "mmraw":
+                                out = lax.dot_general(
+                                    wblk, X[:, sl],
+                                    (((0,), (0,)), ((), ())),
+                                    preferred_element_type=f32,
+                                    precision=_MM_PREC,
+                                )
+                                occb[:, sl] = occb[:, sl] | (
+                                    _consume(out) > 0.5
+                                ).astype(jnp.int32)
+                            else:  # "mm" ≡ full for any-hit (no fold)
+                                hit = tri_hit(
+                                    wblk, X[:, sl], tmax[:, sl], LANES,
+                                )
+                                occb[:, sl] = occb[:, sl] | jnp.any(
+                                    hit, axis=0, keepdims=True
+                                ).astype(jnp.int32)
                     return 0
 
                 lax.fori_loop(0, seg, inner, 0, unroll=False)
