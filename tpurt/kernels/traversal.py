@@ -131,19 +131,36 @@ FAST_ANYHIT = os.environ.get("TPURT_FAST_ANYHIT", "0") != "0"
 #: each variant's own s_strm/s_chnk stats (traversal_stats).
 PROF = os.environ.get("TPURT_PROF", "")
 assert PROF in ("", "launch", "cull", "scan", "stream", "mmraw", "mm"), PROF
-#: intersection-matmul precision (TPURT_MM_PREC = highest | high | default).
-#: The r4 stage profiler (scripts/prof_traversal.py) measured the K=8
-#: Baldwin–Weber dot_generals as ~72% of the b0 kernel and ~91% of the
-#: shadow kernel at config 5; HIGHEST lowers to SIX bf16 MXU passes, HIGH
-#: to three (bf16x3 carries ~f32 mantissa coverage for well-conditioned
-#: sums).  Applies to the candidate-generation matmuls only (tri_math /
-#: tri_hit / sph_math); the fold's one-hot selection matmul stays HIGHEST —
-#: it transports attribute VALUES exactly and is off the critical path.
+#: intersection-matmul precision (TPURT_MM_PREC = highest | bf16x3 |
+#: default).  The r4 stage profiler (scripts/prof_traversal.py) measured
+#: the K=8 Baldwin–Weber dot_generals as ~72% of the b0 kernel and ~91% of
+#: the shadow kernel at config 5; f32 HIGHEST lowers to SIX bf16 MXU
+#: passes, and the per-dot cost is ~60% fixed operand staging (mmraw
+#: default-vs-highest differencing), so three SEPARATE bf16 passes
+#: (Precision.HIGH — unimplemented by Mosaic anyway) would win nothing.
+#: `bf16x3` instead K-CONCATENATES the three product groups of the 2-way
+#: bf16 split into ONE K=24 bf16 dot — [whi;whi;wlo]·[Xhi;Xlo;Xhi] =
+#: whi·Xhi + whi·Xlo + wlo·Xhi — which the MXU pads to K=128 regardless,
+#: i.e. single-pass cost with ~2^-16-relative accuracy (the dropped
+#: wlo·Xlo term is ≤2^-16).  `default` (raw 1-pass bf16) is a recorded
+#: NEGATIVE result end to end: ~2^-8 t values break exact t-termination /
+#: saturation and the kernel streams more than the matmul saves.
+#: Applies to the triangle candidate matmuls only (tri_math / tri_hit);
+#: spheres and the fold's one-hot selection matmul stay HIGHEST — the
+#: fold transports attribute VALUES exactly and is off the critical path.
+#: `bf16x6` K-concatenates the SIX product groups of the 3-way bf16 split
+#: (8+8+8 mantissa bits decompose f32 exactly): K=48, still ONE MXU pass,
+#: and the terms kept/dropped are exactly XLA HIGHEST's — accuracy equals
+#: HIGHEST at ~single-pass cost (the default since r4; c4-grid's bf16x3
+#: knife-edge flips vanish).
+_MM_PREC_STR = os.environ.get("TPURT_MM_PREC", "bf16x6")
+MM3X = _MM_PREC_STR in ("bf16x3", "bf16x6")
 _MM_PREC = {
     "highest": lax.Precision.HIGHEST,
-    "high": lax.Precision.HIGH,
+    "bf16x3": lax.Precision.HIGHEST,   # non-tri dots keep full precision
+    "bf16x6": lax.Precision.HIGHEST,
     "default": lax.Precision.DEFAULT,
-}[os.environ.get("TPURT_MM_PREC", "highest")]
+}[_MM_PREC_STR]
 _BIG = 3.0e37
 
 
@@ -322,6 +339,52 @@ def _trav_kernel(
         return (
             m(0, o3[0]) + m(1, o3[1]) + m(2, o3[2]) + m(3, 1.0)
             + m(4, d3[0]) + m(5, d3[1]) + m(6, d3[2])
+        )
+
+    def _bf16_split(x, n):
+        """f32 → n bf16 terms with x ≈ Σ terms; each subtraction is exact
+        (the rounded head is within an ulp ⇒ Sterbenz), so 3 terms carry
+        8+8+8 = 24 mantissa bits — the full f32 significand."""
+        terms = []
+        for _ in range(n - 1):
+            h = x.astype(jnp.bfloat16)
+            x = x - h.astype(f32)
+            terms.append(h)
+        terms.append(x.astype(jnp.bfloat16))
+        return terms
+
+    # product-group pairs, in decreasing magnitude (i+j order): bf16x3
+    # keeps terms to 2^-16, bf16x6 to 2^-24 — the exact set XLA's own
+    # HIGHEST (6-pass) lowering computes, here K-concatenated into ONE pass
+    if _MM_PREC_STR == "bf16x6":
+        _MM_PAIRS = [(0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1)]
+        _MM_TERMS = 3
+    else:
+        _MM_PAIRS = [(0, 0), (0, 1), (1, 0)]
+        _MM_TERMS = 2
+
+    def stack_w(w):
+        """(8, M) f32 triangle forms → (8·len(pairs), M) bf16 stack — the
+        LHS of the single-pass split dot (hoisted once per streamed
+        cluster; chunk-invariant)."""
+        t = _bf16_split(w, _MM_TERMS)
+        return jnp.concatenate([t[i] for i, _ in _MM_PAIRS], axis=0)
+
+    def stack_x(X):
+        """(8, R) f32 ray forms → (8·len(pairs), R) bf16 stack (once per
+        pass)."""
+        t = _bf16_split(X, _MM_TERMS)
+        return jnp.concatenate([t[j] for _, j in _MM_PAIRS], axis=0)
+
+    def _mm(wop, Xop):
+        """The candidate-generation dot: operands are either the (8, ·)
+        f32 forms (highest/default) or the (24, ·) bf16 stacks (bf16x3 —
+        one MXU pass computes the 3-term split product sum; K pads to 128
+        on the MXU either way)."""
+        return lax.dot_general(
+            wop, Xop, (((0,), (0,)), ((), ())),
+            preferred_element_type=f32,
+            precision=lax.Precision.DEFAULT if MM3X else _MM_PREC,
         )
 
     # ---- conservative interval cull (clusters in lanes) -------------------
@@ -622,15 +685,13 @@ def _trav_kernel(
     # ---- primitive-block math (same forms as megakernel.py) ---------------
     def tri_math(wblk, X, t_hi, nsub=LANES):
         """Triangle forms (8, 6·nsub) × ray form X (8, chunk) → candidate
-        t/u/v, each (nsub, chunk).  nsub > LANES batches several clusters'
-        128-lane blocks into ONE matmul (the occlusion pass streams NBO
-        clusters per dot — K=8 leaves the MXU mostly idle, so per-matmul
-        overhead, not MACs, is the per-cluster cost)."""
-        out = lax.dot_general(
-            wblk, X, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=_MM_PREC,
-        ).reshape(6, nsub, X.shape[1])
+        t/u/v, each (nsub, chunk).  Under bf16x3 both operands arrive
+        PRE-STACKED ((24, ·) bf16, see stack_w/stack_x).  nsub > LANES
+        batches several clusters' 128-lane blocks into ONE matmul (the
+        occlusion pass streams NBO clusters per dot — small K leaves the
+        MXU mostly idle, so per-matmul overhead, not MACs, is the
+        per-cluster cost)."""
+        out = _mm(wblk, X).reshape(6, nsub, X.shape[1])
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
         safe_nd = jnp.where(good, ndd, 1.0)
@@ -654,11 +715,7 @@ def _trav_kernel(
         so this cannot ship without changing geom.any_hit to the same form
         and regolding (see CLAUDE.md backlog) — the flag exists to price
         the win first."""
-        out = lax.dot_general(
-            wblk, X, (((0,), (0,)), ((), ())),
-            preferred_element_type=f32,
-            precision=_MM_PREC,
-        ).reshape(6, nsub, X.shape[1])
+        out = _mm(wblk, X).reshape(6, nsub, X.shape[1])
         no_, ndd, uo, ud, vo, vd = (out[i] for i in range(6))
         good = jnp.abs(ndd) >= C.MT_DET_EPS
         if FAST_ANYHIT:
@@ -777,6 +834,10 @@ def _trav_kernel(
                     op.wait()
                 cw = c // 16
                 cb = c % 16
+                # chunk-invariant: reshape (+ bf16x3 stack) once per cluster
+                wblk = wscr[slot].reshape(8, 6 * LANES)
+                if MM3X:
+                    wblk = stack_w(wblk)
                 for ch in range(nch):
                     bit = (masks[KB + ch, cw] >> cb) & 1
 
@@ -784,16 +845,11 @@ def _trav_kernel(
                     def _(ch=ch):
                         s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
                         sl = slice(ch * RCH, (ch + 1) * RCH)
-                        wblk = wscr[slot].reshape(8, 6 * LANES)
                         if PROF == "stream":
                             tb[:, sl] = tb[:, sl] + _consume(
                                 wblk, ascr[slot])
                         elif PROF == "mmraw":
-                            out = lax.dot_general(
-                                wblk, X[:, sl], (((0,), (0,)), ((), ())),
-                                preferred_element_type=f32,
-                                precision=_MM_PREC,
-                            )
+                            out = _mm(wblk, X[:, sl])
                             tb[:, sl] = tb[:, sl] + _consume(
                                 out, ascr[slot])
                         elif PROF == "mm":
@@ -854,6 +910,8 @@ def _trav_kernel(
             fold(tm, zero, zero, sattr_ref[:, b * LANES : (b + 1) * LANES])
         if PROF == "scan":
             return tb[...], ab[...], ub[...], vb[...]
+        if MM3X:
+            X = stack_x(X)  # (24, R) bf16 — once per pass
         n, sid = survivors()
         ovf = sovf[0] == 1
         for kb in range(KB):
@@ -942,6 +1000,8 @@ def _trav_kernel(
             ).astype(jnp.int32)
         if PROF == "scan":
             return occb[...] > 0
+        if MM3X:
+            X = stack_x(X)  # (24, R) bf16 — once per pass
 
         n, sid = survivors()
 
@@ -1014,6 +1074,10 @@ def _trav_kernel(
                         op.wait()
                     cw = c // 16
                     cb = c % 16
+                    # chunk-invariant: reshape (+ bf16x3 stack) per cluster
+                    wblk = wscr[slot].reshape(8, 6 * LANES)
+                    if MM3X:
+                        wblk = stack_w(wblk)
                     for ch in range(nch):
                         bit = (masks[KB + ch, cw] >> cb) & 1
 
@@ -1021,18 +1085,12 @@ def _trav_kernel(
                         def _(ch=ch):
                             s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
                             sl = slice(ch * RCH, (ch + 1) * RCH)
-                            wblk = wscr[slot].reshape(8, 6 * LANES)
                             if PROF == "stream":
                                 occb[:, sl] = occb[:, sl] | (
                                     _consume(wblk) > 0.5
                                 ).astype(jnp.int32)
                             elif PROF == "mmraw":
-                                out = lax.dot_general(
-                                    wblk, X[:, sl],
-                                    (((0,), (0,)), ((), ())),
-                                    preferred_element_type=f32,
-                                    precision=_MM_PREC,
-                                )
+                                out = _mm(wblk, X[:, sl])
                                 occb[:, sl] = occb[:, sl] | (
                                     _consume(out) > 0.5
                                 ).astype(jnp.int32)
