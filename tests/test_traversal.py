@@ -190,3 +190,19 @@ def test_chunked_hit_points_shadow_equality(monkeypatch):
     ids1, occ1 = run()
     assert (ids0 == ids1).all()
     assert (occ0 == occ1).all()
+
+
+def test_bf16x6_matches_highest(monkeypatch):
+    """The single-pass K-concat bf16x6 intersection matmul (the r4 default,
+    design.md item 24) computes exactly XLA HIGHEST's six product groups in
+    one dot, so the render must match the f32-HIGHEST kernel to float-ulp
+    noise (bit-identical in interpret mode — the accumulation order of the
+    K=48 dot matches the 6-pass sum here).  Mesh + spheres + shadows +
+    reflections path."""
+    scene, cfg = configs.config3_spheres(32, 32)
+    tri_ids = _plan_for(scene)
+    img_6x = np.asarray(TV.render_rows_clustered(scene, cfg, tri_ids, 0, 32))
+    monkeypatch.setattr(TV, "MM3X", False)
+    monkeypatch.setattr(TV, "_MM_PREC_STR", "highest")
+    img_hi = np.asarray(TV.render_rows_clustered(scene, cfg, tri_ids, 0, 32))
+    np.testing.assert_allclose(img_6x, img_hi, atol=2e-6)
