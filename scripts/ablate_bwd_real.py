@@ -136,6 +136,38 @@ t_bwd_shade = bench(
 print(f"[ablate_bwd_real] bwd-extra full={t_fwdbwd_full - t_fwd_full:.1f} ms "
       f"shade-only={t_bwd_shade - t_fwd_shade:.1f} ms", file=sys.stderr)
 
+
+# ---- leaf-restricted backward of the REAL (production) shade graph ---------
+# (the slab-path leaf ablation in ablate_bwd.py measures a different,
+# non-compacted graph — r4 discovered its numbers are ~5x the production
+# path's and do not locate today's cost)
+def _restrict(names):
+    sg = jax.lax.stop_gradient
+
+    def f(s, r):
+        import dataclasses as DC
+
+        reps = {}
+        for fld in ("vertices", "vnormals", "uvs", "textures", "materials",
+                    "light_pos", "light_color"):
+            if not hasattr(s, fld) or getattr(s, fld) is None:
+                continue
+            if fld not in names:
+                reps[fld] = (sg(getattr(s, fld))
+                             if fld != "materials"
+                             else jax.tree_util.tree_map(sg, s.materials))
+        return _loss_shade(DC.replace(s, **reps), r)
+
+    return jax.jit(jax.grad(f, allow_int=True))
+
+
+bench("shade_bwd verts-only", _restrict({"vertices", "vnormals"}), scene,
+      recs)
+if scene.textured:
+    bench("shade_bwd tex-only", _restrict({"textures", "uvs"}), scene, recs)
+bench("shade_bwd mats+lights-only",
+      _restrict({"materials", "light_pos", "light_color"}), scene, recs)
+
 # ---- scatter micro-benches on the REAL pid distribution --------------------
 key = jax.random.PRNGKey(0)
 cot25 = jax.random.normal(key, (N, 25), jnp.float32)

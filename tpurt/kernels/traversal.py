@@ -94,6 +94,11 @@ TILE_W = RAYS // TILE_H
 #: for config 5's 8k clusters (35 of 2040 tiles overflowed at 2048, each
 #: degrading to a full 8194-cluster stream)
 MAXS = 4096
+#: survivor-stream DMA pipeline depth (slots of wscr/ascr scratch).  4 was
+#: neutral-vs-2 when per-cluster compute was ~1.9 µs (r2); after the r4
+#: bf16x6 matmul cut compute to ~0.5 µs/cluster the wait is partially
+#: exposed (profiler stream stage: 0.53 µs/survivor) — A/B knob
+DMA_DEPTH = int(os.environ.get("TPURT_DMA_DEPTH", "4"))
 #: front-to-back entry-distance buckets for the closest pass: survivors are
 #: emitted bucket-major (nearest first) and a whole bucket is skipped once
 #: every live ray's best hit is nearer than the bucket's entry threshold
@@ -804,7 +809,7 @@ def _trav_kernel(
         pipeline: per-cluster compute (~0.7 µs) is shorter than HBM DMA
         latency, so a 2-deep pipeline stalls on the wait; issuing several
         clusters ahead keeps the DMA engine saturated."""
-        DEPTH = 4
+        DEPTH = DMA_DEPTH
         n_seg = j1 - j0
 
         @pl.when(n_seg > 0)
@@ -1015,7 +1020,7 @@ def _trav_kernel(
         # the amortized matmul dispatch saved (config4 26.9 → 23.8, config5
         # flat).  Per-cluster chunk bits keep the epilogue minimal.
         NBLK = int(os.environ.get("TPURT_NBLK", "8"))
-        DEPTH = 4
+        DEPTH = DMA_DEPTH
 
         # ---- per-chunk saturation bits -----------------------------------
         # live_bits: bit ch set ⇔ chunk ch still has an alive, unoccluded
@@ -1267,14 +1272,14 @@ def _scratch_shapes(C_pad, nch=NCH):
         pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
         pltpu.SMEM((1,), jnp.int32),              # scnt
         pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
-        pltpu.VMEM((4, 8, 6, LANES), jnp.float32),    # wscr
-        pltpu.VMEM((4, TROWS, LANES), jnp.float32),   # ascr
+        pltpu.VMEM((DMA_DEPTH, 8, 6, LANES), jnp.float32),    # wscr
+        pltpu.VMEM((DMA_DEPTH, TROWS, LANES), jnp.float32),   # ascr
         pltpu.VMEM((1, RAYS), jnp.float32),       # tb
         pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
         pltpu.VMEM((1, RAYS), jnp.float32),       # ub
         pltpu.VMEM((1, RAYS), jnp.float32),       # vb
         pltpu.VMEM((1, RAYS), jnp.int32),         # occb
-        pltpu.SemaphoreType.DMA((4, 2)),          # sems[slot, stream]
+        pltpu.SemaphoreType.DMA((DMA_DEPTH, 2)),  # sems[slot, stream]
         pltpu.SemaphoreType.DMA(()),              # ssem (mask copy)
         pltpu.SMEM((KB + 1,), jnp.int32),         # bstart (bucket bounds)
         pltpu.VMEM((1, LANES), jnp.int32),        # keyv [tmax key]
