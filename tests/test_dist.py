@@ -132,11 +132,14 @@ def test_scene_sharded_reflective_and_grads():
 
     # per-device triangle-derived bytes shrink ~1/n (VERDICT r2 item 4c):
     # each shard's cluster slice is C/n and its triangle slice ≈ T/n
-    tloc, tri_sh, _, _, cnts, T_global = parts
+    tloc, tri_sh, _, _, cnts, widx, T_global = parts
     assert T_global == scene.n_tris
     assert tloc.shape[1] == -(-cs.tri_ids.shape[0] // 4)
     assert tri_sh.shape[1] <= -(-scene.n_tris // 4) + 128  # +1 cluster slack
     assert int(jnp.sum(cnts)) == scene.n_tris  # disjoint cover
+    # v3: the vertex table ships sharded — corners are local to the window
+    assert int(jnp.max(tri_sh)) < widx.shape[1]
+    assert int(jnp.min(tri_sh)) >= 0
 
     # replicated reference on the SAME renumbered scene
     from tpurt.dist import renumber_by_clusters
@@ -245,3 +248,30 @@ def test_heartbeat_mesh_roundtrip():
 
     rtt = heartbeat(make_mesh(8), timeout_s=120.0)
     assert rtt > 0.0
+
+
+def test_scene_shard_vertex_windows_scale():
+    """v3 memory scaling: each shard's vertex gather list (the slice of
+    the vertex table it actually receives) is ~V/n + boundary overlap —
+    not O(V).  Host-side check on a real connected mesh."""
+    import numpy as np
+
+    from tpurt.accel import build_clusters
+    from tpurt.dist.scene_shard import (renumber_by_clusters,
+                                        shard_scene_clusters)
+    from tpurt.scene import configs
+
+    scene, _cfg = configs.config4_bunny(16, 16, subdiv=4)
+    cs = build_clusters(np.asarray(scene.vertices),
+                        np.asarray(scene.triangles))
+    scene2, tri_ids2 = renumber_by_clusters(scene, jnp.asarray(cs.tri_ids))
+    n = 4
+    _tloc, tri_sh, _tmat, _t0s, _cnts, widx, _tmax = shard_scene_clusters(
+        scene2, tri_ids2, n)
+    V = scene2.vertices.shape[0]
+    Vmax = widx.shape[1]
+    # tight windows: well under half the table per shard (ideal is ~V/4;
+    # boundary overlap adds a fringe)
+    assert Vmax < 0.5 * V, (Vmax, V)
+    # every local corner resolves inside the window
+    assert int(jnp.max(tri_sh)) < Vmax and int(jnp.min(tri_sh)) >= 0

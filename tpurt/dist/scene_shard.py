@@ -12,11 +12,13 @@ device i then holds
 
 * 1/n of the cluster blocks — the streamed ``wtri_c/attr_c`` arrays
   (~190 MB of ~250 MB packed at 1M tris),
-* the matching 1/n slice of ``scene.triangles``/``tri_mat`` rows, and
-* the matching 1/n slice of the (T, K) deferred-shading pack built from it
+* the matching 1/n slice of ``scene.triangles``/``tri_mat`` rows,
+* the matching 1/n slice of the (T, K) deferred-shading pack built from it,
+* and (v3) the ~1/n slice of the merged VERTEX table its triangles
+  reference (exact per-shard gather lists — `widx`), with triangle
+  corners localized to list positions
 
-— the full scene pytree minus its triangle arrays stays replicated (the
-vertex table is the v3 sharding axis; at 1M tris it is ~12–36 MB).
+— only materials/lights/camera/spheres/textures stay replicated.
 
 Each bounce runs n ring steps: compact the arrived rays (live-first, Morton
 order — the wavefront re-bin applied to traveling rays, so the kernel's
@@ -62,7 +64,10 @@ def renumber_by_clusters(scene, tri_ids):
     scene is the identity).  Images are invariant except on exact-t ties
     between DIFFERENT triangles (the lowest-gid rule resolves by the new
     numbering) — a measure-zero event; vertices keep their order, so all
-    float gradients map 1:1."""
+    float gradients map 1:1.  (Vertex-table sharding does NOT renumber
+    vertices: contiguous windows fail on connected meshes — a SAH split
+    plane's vertices are shared across distant cluster ranges — so
+    shard_scene_clusters builds per-shard exact gather LISTS instead.)"""
     flat = np.asarray(tri_ids).reshape(-1)
     T = int(np.asarray(scene.triangles).shape[0])
     _, first = np.unique(flat, return_index=True)
@@ -87,9 +92,18 @@ def shard_scene_clusters(scene, tri_ids2, n: int):
     last cluster — harmless under closest/any-hit) and cut the matching
     triangle-row ranges, padded to a common Tmax.
 
-    Returns (tri_ids_loc (n, Cs, 128) LOCAL-indexed, tri_sh (n, Tmax, 3),
-    tmat_sh (n, Tmax), t0s (n,), cnts (n,), Tmax) — the per-device packed
-    bytes are ~1/n of the replicated arrays (tests assert this)."""
+    v3: triangle rows are VERTEX-LOCALIZED and each shard gets a `widx`
+    row — the sorted unique global vertex ids its triangles reference —
+    so the vertex table ships sharded (vtab[widx[i]] per device) and
+    per-device vertex-derived bytes scale ~|unique corners| ≈ V/n plus
+    boundary overlap.  Exact gather lists, not contiguous windows: on a
+    connected mesh a SAH split plane's vertices are shared across distant
+    cluster ranges, which stretches any [min, max) window to ~V.
+
+    Returns (tri_ids_loc (n, Cs, 128) LOCAL-indexed, tri_sh (n, Tmax, 3)
+    vertex-localized, tmat_sh (n, Tmax), t0s (n,), cnts (n,), widx
+    (n, Vmax) global vertex ids, Tmax) — the per-device packed bytes are
+    ~1/n of the replicated arrays (tests assert this)."""
     tri_ids2 = np.asarray(tri_ids2)
     tris = np.asarray(scene.triangles)
     tmat = np.asarray(scene.tri_mat)
@@ -131,9 +145,20 @@ def shard_scene_clusters(scene, tri_ids2, n: int):
         tmat_sh[i, :c] = tmat[t0s[i] : t0s[i] + c]
         tmat_sh[i, c:] = tmat[t0s[i]]
         tloc[i] = tri_ids2[i * Cs : (i + 1) * Cs] - t0s[i]
+    # per-shard vertex gather lists: sorted unique corner ids (pad rows
+    # copy real rows, so they are covered); corners remapped to positions
+    # in the list via searchsorted (exact on the sorted unique array)
+    uniq = [np.unique(tri_sh[i].reshape(-1)) for i in range(n)]
+    Vmax = max(int(u.shape[0]) for u in uniq)
+    widx = np.empty((n, Vmax), np.int64)
+    for i, u in enumerate(uniq):
+        widx[i, : u.shape[0]] = u
+        widx[i, u.shape[0] :] = u[-1]             # pad: never referenced
+        tri_sh[i] = np.searchsorted(u, tri_sh[i])
     return (jnp.asarray(tloc), jnp.asarray(tri_sh), jnp.asarray(tmat_sh),
             jnp.asarray(t0s.astype(np.int32)),
-            jnp.asarray(cnts.astype(np.int32)), Tmax)
+            jnp.asarray(cnts.astype(np.int32)),
+            jnp.asarray(widx.astype(np.int32)), Tmax)
 
 
 def _merge(best_t, best_id, t_new, id_new):
@@ -321,21 +346,30 @@ def _split_rows(smooth, textured, g):
 
 
 def _render_slab_ring(scene, config, tri_ids_loc, tri_loc, tmat_loc, t0,
-                      t0s, cnts, row0, nrows, axis, n, T_global):
+                      t0s, cnts, vtab_loc, row0, nrows, axis, n, T_global):
     """Per-device body under shard_map: trace this device's row slab against
     the ring of cluster shards, then shade deferentially with ring-fetched
-    pack rows.  `scene` arrives with DUMMY triangle arrays (the real rows
-    are the sharded tri_loc/tmat_loc)."""
+    pack rows.  `scene` arrives with DUMMY triangle AND vertex arrays (the
+    real rows are the sharded tri_loc/tmat_loc/vtab_loc; tri_loc corners
+    are local to vtab_loc's window)."""
     from tpurt.kernels.packc import pack_clusters
     from tpurt.kernels.traversal import RAYS
-    from tpurt.shading.deferred import (HitRecords, _build_vtab,
-                                        _hit_geometry, _pack_from_vtab,
-                                        _recompute_tuv, shade_from_records)
+    from tpurt.shading.deferred import (HitRecords, _hit_geometry,
+                                        _pack_from_vtab, _recompute_tuv,
+                                        shade_from_records)
     from tpurt.core import vec
 
     sg = jax.lax.stop_gradient
-    scene_loc = dataclasses.replace(scene, triangles=tri_loc,
-                                    tri_mat=tmat_loc)
+    # rebuild per-field views of the windowed vertex table: everything
+    # downstream (pack_clusters wtri forms, shading row gathers) then works
+    # in local vertex indices with the exact same float values
+    k = 3 + (3 if scene.smooth else 0)
+    scene_loc = dataclasses.replace(
+        scene, triangles=tri_loc, tri_mat=tmat_loc,
+        vertices=vtab_loc[:, 0:3],
+        vnormals=(vtab_loc[:, 3:6] if scene.smooth else scene.vnormals),
+        uvs=(vtab_loc[:, k:k + 2] if scene.textured else scene.uvs),
+    )
     packed = pack_clusters(scene_loc, tri_ids_loc)
     Tmax = tri_loc.shape[0]
     W = config.width
@@ -344,10 +378,9 @@ def _render_slab_ring(scene, config, tri_ids_loc, tri_loc, tmat_loc, t0,
     quantum = 2 * RAYS if n > 1 else RAYS
     N_pad = -(-n_pix // quantum) * quantum
 
-    # the differentiable shading slice: (Tmax, K) built from replicated
-    # vertex tables + this shard's triangle rows
-    vtab = _build_vtab(scene)
-    pack_sh = _pack_from_vtab(vtab, tri_loc, tmat_loc, scene.smooth,
+    # the differentiable shading slice: (Tmax, K) built from this shard's
+    # vertex window + its triangle rows
+    pack_sh = _pack_from_vtab(vtab_loc, tri_loc, tmat_loc, scene.smooth,
                               scene.textured)
     pack_sg = sg(pack_sh)
 
@@ -420,41 +453,57 @@ def _render_slab_ring(scene, config, tri_ids_loc, tri_loc, tmat_loc, t0,
 
 
 class ShardParts(tuple):
-    """(tloc, tri_sh, tmat_sh, t0s, cnts, T_global) — host-built shard
-    topology from prepare_scene_sharded (all integer arrays: freezing it
-    across optimization steps is exactly the frozen-topology convention
-    the clustered path already uses)."""
+    """(tloc, tri_sh, tmat_sh, t0s, cnts, widx, T_global) — host-built
+    shard topology from prepare_scene_sharded (all integer arrays:
+    freezing it across optimization steps is exactly the frozen-topology
+    convention the clustered path already uses).  tri_sh corners are
+    vertex-LOCAL to the shard's widx window."""
 
 
 def prepare_scene_sharded(scene, tri_ids, n: int):
     """Host-side prepare for ring rendering: renumber the (concrete) scene
-    into cluster-major triangle order and cut the n shard slices.  Returns
-    (scene2, ShardParts); pass scene2 (or any same-topology update of it —
-    moved vertices, new materials) with the parts to
-    render_scene_sharded_prepared, which is jit/grad-safe."""
+    into cluster-major triangle order and cut the n shard slices (cluster
+    blocks, triangle rows, shading-table ranges, vertex gather lists).
+    Returns (scene2, ShardParts); pass scene2
+    (or any same-topology update of it — moved vertices, new materials)
+    with the parts to render_scene_sharded_prepared, which is
+    jit/grad-safe."""
     scene2, tri_ids2 = renumber_by_clusters(scene, tri_ids)
-    tloc, tri_sh, tmat_sh, t0s, cnts, _tmax = shard_scene_clusters(
+    tloc, tri_sh, tmat_sh, t0s, cnts, widx, _tmax = shard_scene_clusters(
         scene2, tri_ids2, n)
     T_global = int(np.asarray(scene2.triangles).shape[0])
-    return scene2, ShardParts((tloc, tri_sh, tmat_sh, t0s, cnts, T_global))
+    return scene2, ShardParts(
+        (tloc, tri_sh, tmat_sh, t0s, cnts, widx, T_global))
 
 
 def render_scene_sharded_prepared(scene2, config: RenderConfig,
                                   parts: ShardParts, mesh: Mesh,
                                   axis: str = TILE_AXIS):
     """Ring render of a prepared (renumbered) scene — differentiable and
-    safe to call under jit/grad (no host work)."""
-    tloc, tri_sh, tmat_sh, t0s, cnts, T_global = parts
-    # the replicated scene ships WITHOUT its triangle rows (dummy (1, 3)):
+    safe to call under jit/grad (no host work).
+
+    v3: the merged vertex table enters SHARDED — each device receives
+    vtab[widx[i]] (the rows its triangles reference) — so per-device
+    triangle- AND vertex-derived bytes scale ~1/n; the gather's transpose
+    scatters per-shard vertex cotangents back onto scene2's global
+    arrays, summing rows shared across shard boundaries."""
+    from tpurt.shading.deferred import _build_vtab
+
+    tloc, tri_sh, tmat_sh, t0s, cnts, widx, T_global = parts
+    # replicated scene ships WITHOUT triangle or vertex rows (dummies):
     # the real rows enter sharded
     slim = dataclasses.replace(
         scene2,
         triangles=jnp.zeros((1, 3), jnp.int32),
         tri_mat=jnp.zeros((1,), jnp.int32),
+        vertices=jnp.zeros((1, 3), jnp.float32),
+        vnormals=jnp.zeros((1, 3), jnp.float32),
+        uvs=jnp.zeros((1, 2), jnp.float32),
     )
+    vtab_sh = _build_vtab(scene2)[widx]           # (n, Vmax, W)
     return _render_scene_sharded_jit(
-        slim, config, tloc, tri_sh, tmat_sh, t0s, cnts, mesh, axis,
-        T_global)
+        slim, config, tloc, tri_sh, tmat_sh, t0s, cnts, vtab_sh, mesh,
+        axis, T_global)
 
 
 def render_scene_sharded(scene, config: RenderConfig, tri_ids, mesh: Mesh,
@@ -478,23 +527,26 @@ def render_scene_sharded(scene, config: RenderConfig, tri_ids, mesh: Mesh,
 @partial(jax.jit,
          static_argnames=("config", "mesh", "axis", "T_global"))
 def _render_scene_sharded_jit(scene, config: RenderConfig, tloc, tri_sh,
-                              tmat_sh, t0s, cnts, mesh: Mesh, axis: str,
-                              T_global: int):
+                              tmat_sh, t0s, cnts, vtab_sh, mesh: Mesh,
+                              axis: str, T_global: int):
     n = mesh.shape[axis]
     nrows = _rows_per_device(config.height, n)
 
-    def body(s, tids_loc, tri_loc, tmat_loc, t0_loc, t0s_r, cnts_r):
+    def body(s, tids_loc, tri_loc, tmat_loc, t0_loc, t0s_r, cnts_r,
+             vtab_loc):
         row0 = lax.axis_index(axis) * nrows
         return _render_slab_ring(s, config, tids_loc[0], tri_loc[0],
                                  tmat_loc[0], t0_loc[0], t0s_r, cnts_r,
-                                 row0, nrows, axis, n, T_global)
+                                 vtab_loc[0], row0, nrows, axis, n,
+                                 T_global)
 
     full = jax.shard_map(
         body,
         mesh=mesh,
         in_specs=(P(), P(axis, None, None), P(axis, None, None),
-                  P(axis, None), P(axis), P(), P()),
+                  P(axis, None), P(axis), P(), P(),
+                  P(axis, None, None)),
         out_specs=P(axis, None, None),
         check_vma=False,
-    )(scene, tloc, tri_sh, tmat_sh, t0s, t0s, cnts)
+    )(scene, tloc, tri_sh, tmat_sh, t0s, t0s, cnts, vtab_sh)
     return full[: config.height]

@@ -447,6 +447,7 @@ def l2_loss_and_grad(scene, target, config):
     sublanes = nb_t * tlb + nb_s * slb
     rays = max(RAYS_BWD,
                min(RAYS, 2 ** (15 - max(sublanes, 1).bit_length())))
+    rays = int(os.environ.get("TPURT_P1_RAYS_BWD", str(rays)))
     ntiles = -(-n_pix // rays)
     n_pad = ntiles * rays
     tile_statics = (H_, W_, max_depth, shadows, nb_t, nb_s, n_lights, rays,
