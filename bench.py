@@ -264,9 +264,34 @@ def run_verify() -> int:
             jax.clear_caches()
         return (np.abs(img_c - img_p).max(-1) > 1e-4).sum()
 
+    def bf16x6_vs_highest():
+        # the r4 single-pass split-bf16 intersection matmul vs f32 HIGHEST
+        # ON SILICON (the CPU test only proves interpret mode): integer
+        # topology records must agree except at knife-edge silhouettes —
+        # budget 0.1% of record entries (design.md item 24)
+        scene, cfg = configs.config4_bunny(64, 64, subdiv=4)
+        plan = prepare(scene, cfg, accel="bvh")
+        saved = (TV.MM3X, TV._MM_PREC_STR)
+        try:
+            def records(s):
+                packed = pack_clusters(s, plan.tri_ids)
+                ids, occ, _, _ = TV.trace_records(packed, cfg, 0, cfg.height)
+                return ids, occ
+            ids6, occ6 = jax.jit(records)(scene)
+            TV.MM3X, TV._MM_PREC_STR = False, "highest"
+            jax.clear_caches()  # flags are read at trace time
+            idsh, occh = jax.jit(records)(scene)
+            mism = int(jnp.sum(ids6 != idsh) + jnp.sum(occ6 != occh))
+            budget = max(1, int(2e-3 * ids6.size))
+            return 0 if mism <= budget else mism
+        finally:
+            TV.MM3X, TV._MM_PREC_STR = saved
+            jax.clear_caches()
+
     eq_case("wavefront-vs-multibounce", wavefront_vs_multibounce)
     eq_case("shadow-rebin-on-off", shadow_rebin_on_off)
     eq_case("shade-compact-vs-plain", compact_vs_plain_shading)
+    eq_case("bf16x6-vs-highest", bf16x6_vs_highest)
     print(
         json.dumps(
             {
