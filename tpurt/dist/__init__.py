@@ -12,7 +12,7 @@ from tpurt.dist.scene_shard import (
     renumber_by_clusters,
 )
 from tpurt.dist.shard import make_mesh, render_sharded
-from tpurt.dist.train import make_train_step, sgd_update
+from tpurt.dist.train import (make_ring_train_step, make_train_step, sgd_update)
 
 __all__ = [
     "make_mesh",
@@ -22,6 +22,7 @@ __all__ = [
     "prepare_scene_sharded",
     "renumber_by_clusters",
     "make_train_step",
+    "make_ring_train_step",
     "sgd_update",
     "render_resumable",
     "heartbeat",

@@ -34,6 +34,30 @@ def sgd_update(scene, grads, lr):
     return jax.tree_util.tree_map(upd, scene, grads)
 
 
+def make_ring_train_step(config: RenderConfig, mesh, parts,
+                         axis: str = TILE_AXIS):
+    """Train step for scene-sharded (>HBM) scenes: L2 loss on the RING
+    render (cluster blocks, shading tables and the vertex table all
+    sharded over the mesh — dist/scene_shard.py v3), gradients to every
+    float leaf of the renumbered scene.  `parts` comes from
+    prepare_scene_sharded (host, once); pass the renumbered scene2 it
+    returns (or any same-topology update of it) as the step's scene."""
+    from tpurt.dist.scene_shard import render_scene_sharded_prepared
+
+    def loss_fn(scene2, target):
+        img = render_scene_sharded_prepared(scene2, config, parts, mesh,
+                                            axis)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step(scene2, target, lr):
+        loss, grads = jax.value_and_grad(loss_fn, allow_int=True)(
+            scene2, target)
+        return sgd_update(scene2, grads, lr), loss
+
+    return step
+
+
 def make_train_step(config: RenderConfig, mesh=None, axis: str = TILE_AXIS,
                     plan=None):
     """Build a jitted train step `(scene, target, lr) -> (scene', loss)`.
