@@ -59,6 +59,27 @@ def cmd_render(args):
     if args.depth is not None:
         cfg = cfg.replace(max_depth=args.depth)
     plan = prepare(scene, cfg, accel=None if args.accel == "auto" else args.accel)
+    if args.scene_shard:
+        # >HBM path from the CLI: clusters + shading tables + vertex table
+        # sharded over an n-device mesh, ring ray exchange (scene_shard v3)
+        from tpurt.dist import (make_mesh, prepare_scene_sharded,
+                                render_scene_sharded_prepared)
+
+        if plan.kind != "clusters":
+            plan = prepare(scene, cfg, accel="bvh")
+        scene2, parts = prepare_scene_sharded(scene, plan.tri_ids,
+                                              args.scene_shard)
+        mesh = make_mesh(args.scene_shard)
+        with _maybe_profile(args.profile):
+            t0 = time.time()
+            img = np.asarray(
+                render_scene_sharded_prepared(scene2, cfg, parts, mesh))
+            dt = time.time() - t0
+        save_png(args.out, img)
+        print(json.dumps({"out": args.out, "h": cfg.height, "w": cfg.width,
+                          "seconds": round(dt, 3),
+                          "plan": f"ring-{args.scene_shard}"}))
+        return
     with _maybe_profile(args.profile):
         t0 = time.time()
         img = np.asarray(render(scene, cfg, plan=plan))
@@ -195,6 +216,10 @@ def main(argv=None):
     sp.add_argument("--depth", type=int, default=None)
     sp.add_argument("--accel", type=str, default="auto",
                     choices=["auto", "bvh", "grid"])
+    sp.add_argument("--scene-shard", type=int, default=0, metavar="N",
+                    help="shard the scene (clusters + shading + vertex "
+                    "tables) over an N-device mesh with ring ray exchange "
+                    "(>HBM scenes; dist/scene_shard.py)")
     sp.set_defaults(fn=cmd_render)
 
     sp = sub.add_parser("bench")
