@@ -236,3 +236,31 @@ def test_segsum_flag_grads_match_naive(monkeypatch):
         bm = np.asarray(g.materials.kd)
         np.testing.assert_allclose(am, bm, rtol=1e-4,
                                    atol=1e-5 * max(1.0, np.abs(am).max()))
+
+
+def test_vtab_scatter_parts_grads_identical(monkeypatch):
+    """The range-partitioned vertex-table scatter (TPURT_VTAB_SCATTER_PARTS,
+    design.md item 26 note) must produce BIT-identical gradients to the
+    single scatter: every row's updates arrive in the same stream order,
+    partitions only add exact 0.0 at clipped rows."""
+    import numpy as np
+
+    from tpurt.render import prepare, render_and_grad
+    from tpurt.scene import configs
+    from tpurt.shading import deferred as D
+
+    scene, cfg = configs.config4_bunny(24, 24, subdiv=3)
+    plan = prepare(scene, cfg, accel="bvh")
+
+    def grads():
+        (_, _), g = render_and_grad(
+            scene, lambda im: jnp.sum(im ** 2), cfg, plan=plan)
+        return np.asarray(g.vertices), np.asarray(g.vnormals)
+
+    monkeypatch.setattr(D, "_VTAB_PARTS_ENV", "1")
+    monkeypatch.setattr(D, "_PACK_DIRECT_ENV", "1")  # force the vtab path
+    gv1, gn1 = grads()
+    monkeypatch.setattr(D, "_VTAB_PARTS_ENV", "2")
+    gv2, gn2 = grads()
+    np.testing.assert_array_equal(gv1, gv2)
+    np.testing.assert_array_equal(gn1, gn2)

@@ -374,6 +374,24 @@ def _pack_gather_fwd(smooth, textured, pack_sg, vtab, tri, pid):
                           pid.shape)
 
 
+#: vertex-table scatter partitioning: the TPU serial scatter's per-update
+#: cost is residency-bound — measured ~12 ns/update into an 8 MB target vs
+#: ~110-145 ns into 16-100 MB ones (design.md item 26 note).  Splitting the
+#: (V, W) target into 2 range slices revisits every update per slice but
+#: each slice stays resident: 3×(V,8) @303k real updates 65.9 → 38.4 ms on
+#: chip (K=4 gives the gain back to the extra visits).  Per-row update
+#: order is unchanged, so gradients are bit-identical.
+_VTAB_PARTS_ENV = os.environ.get("TPURT_VTAB_SCATTER_PARTS", "auto")
+_VTAB_PARTS_MIN_BYTES = 12 << 20
+
+
+def _vtab_scatter_parts(vtab_shape) -> int:
+    if _VTAB_PARTS_ENV != "auto":
+        return max(1, int(_VTAB_PARTS_ENV))
+    rows, cols = vtab_shape
+    return 2 if rows * cols * 4 > _VTAB_PARTS_MIN_BYTES else 1
+
+
 def _pack_gather_bwd(smooth, textured, res, cot):
     idx3, vtab_shape, pack_shape, tri_shape, pid_shape = res
     cotf = cot.reshape(-1, cot.shape[-1])
@@ -391,11 +409,31 @@ def _pack_gather_bwd(smooth, textured, res, cot):
     if textured:
         for c in range(3):
             parts[c].append(cotf[:, k + 2 * c : k + 2 * (c + 1)])
-    dvtab = jnp.zeros(vtab_shape, cotf.dtype)
-    for c in range(3):
-        upd = (jnp.concatenate(parts[c], axis=-1)
-               if len(parts[c]) > 1 else parts[c][0])
-        dvtab = dvtab.at[i3[:, c]].add(upd)
+    upds = [
+        (jnp.concatenate(parts[c], axis=-1)
+         if len(parts[c]) > 1 else parts[c][0])
+        for c in range(3)
+    ]
+    K = _vtab_scatter_parts(vtab_shape)
+    if K == 1:
+        dvtab = jnp.zeros(vtab_shape, cotf.dtype)
+        for c in range(3):
+            dvtab = dvtab.at[i3[:, c]].add(upds[c])
+    else:
+        V = vtab_shape[0]
+        Vk = -(-V // K)
+        slices = []
+        for kk in range(K):
+            lo = kk * Vk
+            dk = jnp.zeros((Vk, vtab_shape[1]), cotf.dtype)
+            for c in range(3):
+                loc = i3[:, c] - lo
+                m = (loc >= 0) & (loc < Vk)
+                # out-of-slice updates add 0.0 at a clipped row — exact
+                dk = dk.at[jnp.clip(loc, 0, Vk - 1)].add(
+                    jnp.where(m[:, None], upds[c], 0.0))
+            slices.append(dk)
+        dvtab = jnp.concatenate(slices)[:V]
     f0 = lambda s: np.zeros(s, dtype=jax.dtypes.float0)  # noqa: E731
     return (jnp.zeros(pack_shape, cotf.dtype), dvtab, f0(tri_shape),
             f0(pid_shape))
