@@ -271,21 +271,25 @@ def run_verify() -> int:
         # budget 0.1% of record entries (design.md item 24)
         scene, cfg = configs.config4_bunny(64, 64, subdiv=4)
         plan = prepare(scene, cfg, accel="bvh")
-        saved = (TV.MM3X, TV._MM_PREC_STR)
+        saved = (TV.MM3X, TV._MM_PREC_STR, TV._MM_PREC)
         try:
             def records(s):
                 packed = pack_clusters(s, plan.tri_ids)
                 ids, occ, _, _ = TV.trace_records(packed, cfg, 0, cfg.height)
                 return ids, occ
             ids6, occ6 = jax.jit(records)(scene)
+            # override _MM_PREC too: if the process was launched with
+            # TPURT_MM_PREC=default, flipping only the string would label a
+            # DEFAULT-precision trace as the "highest" reference (ADVICE r4)
             TV.MM3X, TV._MM_PREC_STR = False, "highest"
+            TV._MM_PREC = jax.lax.Precision.HIGHEST
             jax.clear_caches()  # flags are read at trace time
             idsh, occh = jax.jit(records)(scene)
             mism = int(jnp.sum(ids6 != idsh) + jnp.sum(occ6 != occh))
             budget = max(1, int(2e-3 * ids6.size))
             return 0 if mism <= budget else mism
         finally:
-            TV.MM3X, TV._MM_PREC_STR = saved
+            TV.MM3X, TV._MM_PREC_STR, TV._MM_PREC = saved
             jax.clear_caches()
 
     eq_case("wavefront-vs-multibounce", wavefront_vs_multibounce)

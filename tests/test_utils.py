@@ -218,3 +218,36 @@ def test_obj_native_matches_python(tmp_path):
         np.testing.assert_array_equal(ref[k], nat[k], err_msg=k)
     np.testing.assert_array_equal(ref["normals"], nat["normals"])
     assert ref["groups"] == nat["groups"]
+
+
+def test_obj_native_trailing_slash_and_kill_switch(tmp_path, monkeypatch):
+    """ADVICE r4: a trailing slash in a face corner ('f 1/ 2/ 3/') must
+    parse ti=0 exactly like the python spec parser — the numeric parse is
+    bounded to the token, never consuming the next corner's vertex index.
+    Also: TPURT_OBJ_NATIVE=0 forces the python parser on a real path."""
+    import pytest
+
+    from tpurt.accel.native import load_obj_native
+    from tpurt.scene.obj import load_obj
+
+    lines = [
+        "v 0 0 0", "v 1 0 0", "v 1 1 0", "v 0 1 0",
+        "vt 0.25 0.75",
+        "f 1/ 2/ 3/",                     # trailing slash: ti must be 0
+        "f 2/1 3/ 4/1",                   # mixed trailing + real vt ids
+    ]
+    p = str(tmp_path / "trail.obj")
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    nat = load_obj_native(p)
+    if nat is None:
+        pytest.skip("native toolchain unavailable")
+    ref = load_obj(lines)
+    for k in ("vertices", "triangles", "uvs", "tri_group"):
+        np.testing.assert_array_equal(ref[k], nat[k], err_msg=k)
+
+    # kill-switch: identical result through the forced python path
+    monkeypatch.setenv("TPURT_OBJ_NATIVE", "0")
+    forced = load_obj(p)
+    for k in ("vertices", "triangles", "uvs", "tri_group"):
+        np.testing.assert_array_equal(ref[k], forced[k], err_msg=k)

@@ -297,6 +297,7 @@ void tpurt_free_clusters(void* handle) {
 // dedup.  ~20× the python parse at 1M triangles.
 // ---------------------------------------------------------------------------
 
+#include <charconv>
 #include <cstdio>
 #include <cstdlib>
 #include <string>
@@ -334,6 +335,24 @@ inline const char* next_ws(const char* p, const char* end) {
   return p;
 }
 
+// Locale-independent float parse (python float() is locale-independent;
+// std::strtod honors LC_NUMERIC and would silently misparse "0.25" under a
+// comma-decimal locale, breaking the bit-identical contract).  Accepts an
+// optional leading '+' (python does; std::from_chars does not).
+inline const char* parse_float(const char* p, const char* end, float* out) {
+  if (p < end && *p == '+') ++p;
+  auto res = std::from_chars(p, end, *out);
+  if (res.ec != std::errc()) *out = 0.0f;
+  return res.ptr;
+}
+
+inline const char* parse_int(const char* p, const char* end, int64_t* out) {
+  if (p < end && *p == '+') ++p;
+  auto res = std::from_chars(p, end, *out);
+  if (res.ec != std::errc()) *out = 0;
+  return res.ptr;
+}
+
 }  // namespace
 
 extern "C" {
@@ -344,6 +363,10 @@ void* tpurt_load_obj(const char* path, int64_t* out_nv, int64_t* out_nt,
   if (!f) return nullptr;
   std::fseek(f, 0, SEEK_END);
   long size = std::ftell(f);
+  if (size < 0) {  // ftell failure: -1 would make buf(0) and buf[size] UB
+    std::fclose(f);
+    return nullptr;
+  }
   std::fseek(f, 0, SEEK_SET);
   std::vector<char> buf(size + 1);
   if (size > 0 && std::fread(buf.data(), 1, size, f) != (size_t)size) {
@@ -377,9 +400,9 @@ void* tpurt_load_obj(const char* path, int64_t* out_nv, int64_t* out_nt,
         if (r >= eol) {
           out->push_back(fill);
         } else {
-          char* rend = nullptr;
-          out->push_back(static_cast<float>(std::strtod(r, &rend)));
-          r = rend;
+          float v = fill;
+          r = parse_float(r, eol, &v);
+          out->push_back(v);
         }
       }
     };
@@ -405,17 +428,19 @@ void* tpurt_load_obj(const char* path, int64_t* out_nv, int64_t* out_nt,
       while (true) {
         r = skip_ws(r, eol);
         if (r >= eol) break;
-        char* rend = nullptr;
-        int64_t vi = std::strtoll(r, &rend, 10);
-        int64_t ti = 0, ni = 0;
-        r = rend;
-        if (r < eol && *r == '/') {
+        // Bound every numeric parse to THIS token: a trailing slash
+        // ("f 1/ 2/ 3/") must yield ti=0 like the python spec parser,
+        // not consume the next corner's vertex index.
+        const char* tok_end = next_ws(r, eol);
+        int64_t vi = 0, ti = 0, ni = 0;
+        r = parse_int(r, tok_end, &vi);
+        if (r < tok_end && *r == '/') {
           ++r;
-          if (r < eol && *r != '/') { ti = std::strtoll(r, &rend, 10); r = rend; }
-          if (r < eol && *r == '/') { ++r; ni = std::strtoll(r, &rend, 10); r = rend; }
+          if (r < tok_end && *r != '/') r = parse_int(r, tok_end, &ti);
+          if (r < tok_end && *r == '/') { ++r; parse_int(r, tok_end, &ni); }
         }
         poly.push_back({vi, ti, ni});
-        r = next_ws(r, eol);
+        r = tok_end;
       }
       for (size_t k = 1; k + 1 < poly.size(); ++k)
         faces.push_back({{poly[0], poly[k], poly[k + 1]}, cur_group});

@@ -32,12 +32,17 @@ def load_obj(path_or_lines):
         # native C++ fast path (tpurt/native/builders.cpp tpurt_load_obj,
         # ~20× at 1M tris); THIS python parser remains the semantic spec —
         # the native output is bit-identical (tested) and falls back here
-        # when the toolchain is unavailable
-        from tpurt.accel.native import load_obj_native
+        # when the toolchain is unavailable.  TPURT_OBJ_NATIVE=0 forces the
+        # python spec parser (debug/verification kill-switch, like the
+        # other fast-path knobs: TPURT_MM_PREC, TPURT_PACK_DIRECT, ...).
+        import os
 
-        native = load_obj_native(path_or_lines)
-        if native is not None:
-            return native
+        if os.environ.get("TPURT_OBJ_NATIVE", "1") != "0":
+            from tpurt.accel.native import load_obj_native
+
+            native = load_obj_native(path_or_lines)
+            if native is not None:
+                return native
         with open(path_or_lines) as f:
             lines = f.readlines()
     else:
