@@ -125,14 +125,14 @@ def run_verify() -> int:
         ("c3-phase1", lambda: configs.config3_spheres(64, 64), "auto",
          ("light_color", "sph_center", "sph_radius")),
         ("c3-clusters-wavefront", lambda: configs.config3_spheres(64, 64),
-         "bvh", ("light_color", "sph_center")),
+         "bvh", ("light_color", "sph_center", "sph_radius")),
         ("c4-clusters", lambda: configs.config4_bunny(64, 64, subdiv=4),
          "bvh", ("vertices", "light_color")),
         ("c5-clusters-tex",
          lambda: configs.config5_multimesh(48, 64, n_blobs=2, subdiv=4),
          "bvh", ("light_color", "textures", "vertices")),
         ("c4-grid", lambda: configs.config4_bunny(48, 48, subdiv=4), "grid",
-         ("light_color",)),
+         ("light_color", "vertices")),
     ]
     results = []
     ok_all = True
@@ -296,6 +296,65 @@ def run_verify() -> int:
     eq_case("shadow-rebin-on-off", shadow_rebin_on_off)
     eq_case("shade-compact-vs-plain", compact_vs_plain_shading)
     eq_case("bf16x6-vs-highest", bf16x6_vs_highest)
+
+    # ---- on-silicon central-finite-difference anchors (VERDICT r4 item 6):
+    # every gradient check above is oracle-anchored (TPU autodiff vs CPU
+    # autodiff); these anchor the TPU gradient to the TPU's own rendered
+    # LOSS — catching a wrong-but-consistent autodiff rule.  One scalar
+    # leaf per path class; central difference, 2% relative budget (f32
+    # loss noise at these resolutions is ~1e-4 relative).
+    import dataclasses as _DC
+
+    def fd_case(name, build, accel, leaf_get, leaf_set, h):
+        nonlocal ok_all
+        t0 = time.time()
+        try:
+            scene, cfg = build()
+            plan = prepare(scene, cfg, accel=accel)
+
+            def loss_fn(s):
+                return jnp.sum(render(s, cfg, plan=plan) ** 2)
+
+            loss_j = jax.jit(loss_fn)
+            grad_j = jax.jit(jax.grad(loss_fn, allow_int=True))
+            g = float(leaf_get(grad_j(scene)))
+            v0 = float(leaf_get(scene))
+            lp = float(loss_j(leaf_set(scene, v0 + h)))
+            lm = float(loss_j(leaf_set(scene, v0 - h)))
+            fd = (lp - lm) / (2.0 * h)
+            rel = abs(fd - g) / max(abs(g), 1e-3)
+            ok = rel < 2e-2
+        except Exception as e:  # a failed compile is a failed case
+            print(f"[verify] {name} raised: {e}", file=sys.stderr)
+            g, fd, rel, ok = float("nan"), float("nan"), -1.0, False
+        ok_all = ok_all and ok
+        results.append({"case": name, "plan": "finite-diff",
+                        "grad": g, "fd": fd, "rel_err": round(rel, 5),
+                        "ok": ok, "secs": round(time.time() - t0, 1)})
+        print(f"[verify] {results[-1]}", file=sys.stderr)
+
+    fd_case(
+        "fd-c5-light-intensity",
+        lambda: configs.config5_multimesh(48, 64, n_blobs=2, subdiv=4),
+        "bvh",
+        lambda s: s.light_color[0, 0],
+        lambda s, v: _DC.replace(s, light_color=s.light_color.at[0, 0].set(v)),
+        2e-3,
+    )
+    # NOTE deliberately no FD on geometry leaves (radius/vertices): a true
+    # finite difference moves silhouettes, which the fixed-topology
+    # gradient convention (docs/design.md) correctly excludes — FD and
+    # autodiff would disagree by the silhouette term, not by a bug.
+    fd_case(
+        "fd-c3-sphere-albedo",
+        lambda: configs.config3_spheres(64, 64),
+        "auto",
+        lambda s: s.materials.kd[1, 0],
+        lambda s, v: _DC.replace(
+            s, materials=_DC.replace(
+                s.materials, kd=s.materials.kd.at[1, 0].set(v))),
+        2e-3,
+    )
     print(
         json.dumps(
             {
@@ -328,6 +387,11 @@ def main():
                     help="render tile-parallel over an N-device mesh via "
                     "dist.render_sharded (the multi-chip scaling command, "
                     "BASELINE.json:2; on 1-chip hardware use N=1)")
+    ap.add_argument("--scene-shard", type=int, default=None, metavar="N",
+                    help="render with clusters + shading tables + vertex "
+                    "table sharded over an N-device mesh and ring ray "
+                    "exchange (the >HBM scaling command; on 1-chip "
+                    "hardware N=1 measures ring overhead vs replicated)")
     args = ap.parse_args()
 
     if args.verify:
@@ -360,7 +424,35 @@ def main():
     plan = prepare(scene, cfg)
     print(f"[bench] plan={plan.kind}", file=sys.stderr)
 
-    if args.mesh is not None:
+    if args.scene_shard is not None:
+        # >HBM ring path (scene sharding v3): one command produces the
+        # scaling table the day multi-chip hardware exists; n=1 on one
+        # chip is the ring-overhead-vs-replicated smoke (VERDICT r4 #5)
+        from tpurt.dist import (make_mesh, prepare_scene_sharded,
+                                render_scene_sharded_prepared)
+
+        n_dev = len(jax.devices())
+        if args.scene_shard > n_dev:
+            print(f"[bench] --scene-shard {args.scene_shard} > {n_dev} "
+                  f"device(s) available", file=sys.stderr)
+            sys.exit(2)
+        if plan.kind != "clusters":
+            plan = prepare(scene, cfg, accel="bvh")
+        scene2, parts = prepare_scene_sharded(scene, plan.tri_ids,
+                                              args.scene_shard)
+        mesh = make_mesh(args.scene_shard)
+        print(f"[bench] ring mesh={mesh.shape}", file=sys.stderr)
+        if args.mode == "fwd":
+            fn = jax.jit(lambda s: render_scene_sharded_prepared(
+                s, cfg, parts, mesh))
+        else:
+            def loss_r(s):
+                img = render_scene_sharded_prepared(s, cfg, parts, mesh)
+                return jnp.sum(img ** 2)
+
+            fn = jax.jit(lambda s: jax.grad(loss_r, allow_int=True)(s))
+        scene = scene2
+    elif args.mesh is not None:
         from tpurt.dist.shard import make_mesh, render_sharded
 
         n_dev = len(jax.devices())
@@ -419,7 +511,10 @@ def main():
     fetch(out)
     dt = (time.time() - t0) / args.iters
     rays = count_rays(cfg, scene)
-    traced = count_rays_traced(cfg, scene, plan)
+    # ring mode renumbers the scene (plan.tri_ids indexes the original
+    # order): report nominal rays as traced rather than recount
+    traced = (rays if args.scene_shard is not None
+              else count_rays_traced(cfg, scene, plan))
     mrays = rays / dt / 1e6
     mrays_traced = traced / dt / 1e6
     print(f"[bench] {dt*1e3:.2f} ms/frame over {args.iters} chained iters; "
@@ -430,7 +525,11 @@ def main():
     # the backward with the difference
     grad_extra = {}
     if args.mode == "fwdbwd":
-        if args.mesh is not None:
+        if args.scene_shard is not None:
+            from tpurt.dist import render_scene_sharded_prepared as _rr
+
+            fwd_fn = jax.jit(lambda s: _rr(s, cfg, parts, mesh))
+        elif args.mesh is not None:
             from tpurt.dist.shard import render_sharded as _rs
 
             fwd_fn = jax.jit(lambda s: _rs(s, cfg, mesh, plan=plan))
@@ -464,6 +563,7 @@ def main():
                 "rays_traced": traced,
                 "ms_per_frame": round(dt * 1e3, 2),
                 "mesh": args.mesh,
+                "scene_shard": args.scene_shard,
                 **grad_extra,
             }
         )

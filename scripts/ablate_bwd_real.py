@@ -167,6 +167,18 @@ if scene.textured:
     bench("shade_bwd tex-only", _restrict({"textures", "uvs"}), scene, recs)
 bench("shade_bwd mats+lights-only",
       _restrict({"materials", "light_pos", "light_color"}), scene, recs)
+# r5 finer split (VERDICT r4 item 4: "33 ms for gradients into 4 material
+# rows + 2 lights is enormous; nobody has asked what it is actually made
+# of") — each leaf alone, so shared-recompute shows as sum-minus-parts
+bench("shade_bwd lights-only", _restrict({"light_pos", "light_color"}),
+      scene, recs)
+bench("shade_bwd light_color-only", _restrict({"light_color"}), scene, recs)
+bench("shade_bwd materials-only", _restrict({"materials"}), scene, recs)
+if scene.textured:
+    bench("shade_bwd textures-only(no uv)", _restrict({"textures"}), scene,
+          recs)
+    bench("shade_bwd uvs-only", _restrict({"uvs"}), scene, recs)
+bench("shade_bwd nothing (pure replay)", _restrict(set()), scene, recs)
 
 # ---- scatter micro-benches on the REAL pid distribution --------------------
 key = jax.random.PRNGKey(0)

@@ -259,8 +259,40 @@ def test_vtab_scatter_parts_grads_identical(monkeypatch):
 
     monkeypatch.setattr(D, "_VTAB_PARTS_ENV", "1")
     monkeypatch.setattr(D, "_PACK_DIRECT_ENV", "1")  # force the vtab path
+    monkeypatch.setattr(D, "_VTAB_SEGSUM_ENV", "0")
     gv1, gn1 = grads()
     monkeypatch.setattr(D, "_VTAB_PARTS_ENV", "2")
     gv2, gn2 = grads()
     np.testing.assert_array_equal(gv1, gv2)
     np.testing.assert_array_equal(gn1, gn2)
+
+
+def test_vtab_segsum_grads_allclose(monkeypatch):
+    """The Pallas sorted-segsum vertex-table accumulation
+    (TPURT_VTAB_SEGSUM, tpurt/kernels/segsum.py) must match the serial
+    scatter to f32 accumulation-order tolerance: every product is exact
+    (bf16 one-hot × exact 3-term bf16 split), only the summation order
+    differs."""
+    import numpy as np
+
+    from tpurt.render import prepare, render_and_grad
+    from tpurt.scene import configs
+    from tpurt.shading import deferred as D
+
+    scene, cfg = configs.config4_bunny(24, 24, subdiv=3)
+    plan = prepare(scene, cfg, accel="bvh")
+
+    def grads():
+        (_, _), g = render_and_grad(
+            scene, lambda im: jnp.sum(im ** 2), cfg, plan=plan)
+        return np.asarray(g.vertices), np.asarray(g.vnormals)
+
+    monkeypatch.setattr(D, "_PACK_DIRECT_ENV", "1")  # force the vtab path
+    monkeypatch.setattr(D, "_VTAB_SEGSUM_ENV", "0")
+    gv1, gn1 = grads()
+    monkeypatch.setattr(D, "_VTAB_SEGSUM_ENV", "1")
+    gv2, gn2 = grads()
+    for a, b in ((gv1, gv2), (gn1, gn2)):
+        assert np.isfinite(b).all()
+        np.testing.assert_allclose(
+            a, b, rtol=1e-5, atol=1e-6 * max(1.0, np.abs(a).max()))

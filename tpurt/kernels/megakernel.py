@@ -51,6 +51,12 @@ from tpurt.kernels.pack import PackedScene, pack_scene
 #: fatter tiles only amortize per-grid-step overhead — A/B via env.
 RAYS = int(os.environ.get("TPURT_P1_RAYS", "1024"))
 RAYS_BWD = 256     # backward tile width (transposed live-set must fit VMEM)
+#: route the fused L2 train objective through the HAND-DERIVED adjoint
+#: kernel (tpurt/kernels/megabwd.py) instead of the replay-under-jax.vjp
+#: kernel — BASELINE.json:5 "hand-derived backward kernels"; also the only
+#: path that can dead-tile-skip the backward (the vjp's linearized cond
+#: emits vector<i1> residual selects Mosaic cannot lower)
+P1_HAND = os.environ.get("TPURT_P1_HAND", "0") != "0"
 LANES = PK.LANES
 
 _F32_MAX_PRIMS = 4096  # phase-1 all-in-VMEM limit per primitive type
@@ -101,7 +107,8 @@ def _reflect3(d, n):
     return _sub3(d, _scale3(n, 2.0 * _dot3(d, n)))
 
 
-def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None):
+def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None,
+                skippable=True):
     """Render RAYS_ flat pixels starting at pix0 (traced i32 scalar).
 
     glob (1, NGLOB) f32; wtri (8, 6·T_pad); wsph (8, 2·S_pad);
@@ -266,10 +273,13 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None):
     alive = jnp.ones((1, R), bool)
     occs = []
 
-    for _depth in range(max_depth + 1):
-        t, a, u, v = closest(o, d)
-        hit = t < C.T_MAX
+    def _any(m):  # (1, R) bool → scalar (f32 sum reduce: Mosaic-safe)
+        return jnp.sum(m.astype(f32)) > 0.0
 
+    def shade_at(_depth, t, a, u, v, args):
+        """Post-closest shading of one depth; the cond-skipped section."""
+        o, d, accum, thr, alive = args
+        hit = t < C.T_MAX
         p = _add3(o, _scale3(d, t))
 
         def a1(k):
@@ -323,7 +333,6 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None):
                 color[c] + vis * lcol[c] * (kd[c] * ndotl + ks[c] * spec)
                 for c in range(3)
             )
-        occs.append(occ_bits)
 
         color = _where3(hit, color, bg)
         live = thr * alive.astype(f32)
@@ -331,8 +340,64 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None):
         refl = jnp.where(hit, refl, 0.0)
         thr = thr * refl
         alive = alive & hit & (refl > 0.0)
-        o = p_off
-        d = _reflect3(d, n)
+        return (accum, thr, alive, p_off, _reflect3(d, n), occ_bits)
+
+    def shade_skip(t, a, u, v, args):
+        """EXACT equivalent of shade_at on a tile where NO lane hit: every
+        lane's color is the background, throughput dies (refl is masked to
+        zero on miss), rays/occ are never read again (alive is monotone
+        decreasing) — so tiles full of sky skip the Phong + occlusion
+        passes entirely."""
+        o, d, accum, thr, alive = args
+        live = thr * alive.astype(f32)
+        accum = tuple(accum[c] + live * bg[c] for c in range(3))
+        return (accum, jnp.zeros_like(thr), jnp.zeros_like(alive), o, d,
+                jnp.zeros((1, R), jnp.int32))
+
+    # `skippable` gates the dead/sky-tile lax.cond skips: they are exact
+    # (see shade_skip) and compile in the plain forward kernel, but under
+    # jax.vjp the linearized cond selects over vector<i1> RESIDUALS, which
+    # Mosaic cannot lower ("Null layout / non-vector operand", measured on
+    # chip r5) — so the vjp-replayed kernels run the straight-line body.
+    for _depth in range(max_depth + 1):
+        if _depth == 0:
+            # depth 0: every lane is alive; closest always runs, the
+            # shading + shadow section cond-skips on all-sky tiles
+            t, a, u, v = closest(o, d)
+            args0 = (o, d, accum, thr, alive)
+            if skippable:
+                accum, thr, alive, o, d, occ_bits = lax.cond(
+                    _any(t < C.T_MAX),
+                    functools.partial(shade_at, _depth, t, a, u, v),
+                    functools.partial(shade_skip, t, a, u, v),
+                    args0,
+                )
+            else:
+                accum, thr, alive, o, d, occ_bits = shade_at(
+                    _depth, t, a, u, v, args0)
+        else:
+            # deeper bounces: tiles with no live path skip closest AND
+            # shading (the phase-1 analogue of the cluster path's
+            # dead-tile skip).  The idle branch is exact: live ≡ 0 ⇒
+            # accum unchanged; thr/alive already all-dead; o/d unread.
+            def full_body(args, _d=_depth):
+                o_, d_ = args[0], args[1]
+                t_, a_, u_, v_ = closest(o_, d_)
+                return shade_at(_d, t_, a_, u_, v_, args)
+
+            def idle(args):
+                o_, d_, accum_, thr_, alive_ = args
+                return (accum_, thr_, alive_, o_, d_,
+                        jnp.zeros((1, R), jnp.int32))
+
+            if skippable:
+                accum, thr, alive, o, d, occ_bits = lax.cond(
+                    _any(alive), full_body, idle, (o, d, accum, thr, alive),
+                )
+            else:
+                accum, thr, alive, o, d, occ_bits = full_body(
+                    (o, d, accum, thr, alive))
+        occs.append(occ_bits)
 
     return (tuple(jnp.clip(accum[c], C.CLAMP_LO, C.CLAMP_HI)
                   for c in range(3)), occs)
@@ -369,7 +434,8 @@ def _bwd_kernel(
     occ_rec = [occ_ref[d : d + 1, :] for d in range(max_depth + 1)]
 
     def f(gl, wt, ws, at):
-        return _tile_color(gl, wt, ws, at, pix0, statics, occ_rec=occ_rec)[0]
+        return _tile_color(gl, wt, ws, at, pix0, statics, occ_rec=occ_rec,
+                           skippable=False)[0]
 
     _, vjp = jax.vjp(f, glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...])
     dgl, dwt, dws, dat = vjp((g_ref[0:1, :], g_ref[1:2, :], g_ref[2:3, :]))
@@ -398,7 +464,7 @@ def _fused_kernel(off_ref, glob_ref, wtri_ref, wsph_ref, attrs_ref, tgt_ref,
     pix0 = off_ref[0, 0] + pl.program_id(0) * R
 
     def f(gl, wt, ws, at):
-        return _tile_color(gl, wt, ws, at, pix0, statics)[0]
+        return _tile_color(gl, wt, ws, at, pix0, statics, skippable=False)[0]
 
     (c0, c1, c2), vjp = jax.vjp(
         f, glob_ref[...], wtri_ref[...], wsph_ref[...], attrs_ref[...])
@@ -456,6 +522,13 @@ def l2_loss_and_grad(scene, target, config):
     off = jnp.zeros((1, 1), jnp.int32)
     tgt = jnp.transpose(target.reshape(n_pix, 3))
     tgt = jnp.pad(tgt, ((0, 0), (0, n_pad - n_pix)))
+    if P1_HAND:
+        from tpurt.kernels import megabwd
+
+        sq, dglob, dwtri, dwsph, dattrs = megabwd.hand_l2_pallas(
+            packed, tgt, off, tile_statics, rays, ntiles, glob
+        )(off, glob, packed.wtri, packed.wsph, packed.attrs, tgt)
+        return _l2_unpack(packed, pack_vjp, sq, dglob, dwtri, dwsph, dattrs)
     sq, dglob, dwtri, dwsph, dattrs = pl.pallas_call(
         functools.partial(_fused_kernel, statics=tile_statics),
         grid=(ntiles,),
@@ -489,6 +562,10 @@ def l2_loss_and_grad(scene, target, config):
         ],
         interpret=_interpret(),
     )(off, glob, packed.wtri, packed.wsph, packed.attrs, tgt)
+    return _l2_unpack(packed, pack_vjp, sq, dglob, dwtri, dwsph, dattrs)
+
+
+def _l2_unpack(packed, pack_vjp, sq, dglob, dwtri, dwsph, dattrs):
     d_packed = PackedScene(
         wtri=dwtri,
         wsph=dwsph,

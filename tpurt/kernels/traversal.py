@@ -135,6 +135,8 @@ FAST_ANYHIT = os.environ.get("TPURT_FAST_ANYHIT", "0") != "0"
 #: they stream the FULL survivor list: normalize per-survivor deltas by
 #: each variant's own s_strm/s_chnk stats (traversal_stats).
 PROF = os.environ.get("TPURT_PROF", "")
+#: stream-stage DMA byte-scaling probe (see dmas() in the kernel): 0 = off
+PROF_DMA_ROWS = int(os.environ.get("TPURT_PROF_DMA_ROWS", "0"))
 assert PROF in ("", "launch", "cull", "scan", "stream", "mmraw", "mm"), PROF
 #: intersection-matmul precision (TPURT_MM_PREC = highest | bf16x3 |
 #: default).  The r4 stage profiler (scripts/prof_traversal.py) measured
@@ -167,6 +169,53 @@ _MM_PREC = {
     "default": lax.Precision.DEFAULT,
 }[_MM_PREC_STR]
 _BIG = 3.0e37
+
+# product-group pairs of the split-bf16 K-concat, in decreasing magnitude
+# (i+j order): bf16x3 keeps terms to 2^-16, bf16x6 to 2^-24 — the exact
+# set XLA's own HIGHEST (6-pass) lowering computes (module-level so the
+# XLA-side prestack below and the in-kernel stacks agree bit for bit)
+if _MM_PREC_STR == "bf16x6":
+    _MM_PAIRS = [(0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1)]
+    _MM_TERMS = 3
+else:
+    _MM_PAIRS = [(0, 0), (0, 1), (1, 0)]
+    _MM_TERMS = 2
+_MM_SROWS = 8 * len(_MM_PAIRS)     # sublanes of a stacked (·, 768) operand
+
+
+def _bf16_split(x, n):
+    """f32 → n bf16 terms with x ≈ Σ terms; each subtraction is exact
+    (the rounded head is within an ulp ⇒ Sterbenz), so 3 terms carry
+    8+8+8 = 24 mantissa bits — the full f32 significand."""
+    terms = []
+    for _ in range(n - 1):
+        h = x.astype(jnp.bfloat16)
+        x = x - h.astype(jnp.float32)
+        terms.append(h)
+    terms.append(x.astype(jnp.bfloat16))
+    return terms
+
+
+#: PRESTACKED split-bf16 triangle forms: build the per-cluster
+#: (SROWS, 768) bf16 stack ONCE per frame at XLA level instead of once per
+#: STREAMED SURVIVOR on the VPU (in-kernel stack_w measured ~0.24 µs/
+#: cluster).  MEASURED NEGATIVE r5, default OFF: config 5 fwd 263 → 537 ms
+#: — the 73.7 KB/cluster DMA (3× the f32 forms) swamps the 2-deep pipeline,
+#: i.e. the survivor stream is DMA-TRANSFER-bound at cluster granularity,
+#: not VPU-bound; also the XLA-side split is NOT bit-equal to the
+#: in-kernel one under --xla_allow_excess_precision (traced-ray count
+#: shifted 2.68M → 2.61M).  Flag kept for re-measurement if DMA behavior
+#: changes.
+PRESTACK = os.environ.get("TPURT_PRESTACK", "0") != "0"
+
+
+def prestack_wtri(wtri_c):
+    """(C, 8, 6, LANES) f32 cluster forms → (C, SROWS, 6·LANES) bf16
+    prestacked lhs operands (the exact layout stack_w builds in-kernel)."""
+    Cc = wtri_c.shape[0]
+    w = wtri_c.reshape(Cc, 8, 6 * LANES)
+    t = _bf16_split(w, _MM_TERMS)
+    return jnp.concatenate([t[i] for i, _ in _MM_PAIRS], axis=1)
 
 
 def _interpret() -> bool:
@@ -345,28 +394,6 @@ def _trav_kernel(
             m(0, o3[0]) + m(1, o3[1]) + m(2, o3[2]) + m(3, 1.0)
             + m(4, d3[0]) + m(5, d3[1]) + m(6, d3[2])
         )
-
-    def _bf16_split(x, n):
-        """f32 → n bf16 terms with x ≈ Σ terms; each subtraction is exact
-        (the rounded head is within an ulp ⇒ Sterbenz), so 3 terms carry
-        8+8+8 = 24 mantissa bits — the full f32 significand."""
-        terms = []
-        for _ in range(n - 1):
-            h = x.astype(jnp.bfloat16)
-            x = x - h.astype(f32)
-            terms.append(h)
-        terms.append(x.astype(jnp.bfloat16))
-        return terms
-
-    # product-group pairs, in decreasing magnitude (i+j order): bf16x3
-    # keeps terms to 2^-16, bf16x6 to 2^-24 — the exact set XLA's own
-    # HIGHEST (6-pass) lowering computes, here K-concatenated into ONE pass
-    if _MM_PREC_STR == "bf16x6":
-        _MM_PAIRS = [(0, 0), (0, 1), (1, 0), (0, 2), (2, 0), (1, 1)]
-        _MM_TERMS = 3
-    else:
-        _MM_PAIRS = [(0, 0), (0, 1), (1, 0)]
-        _MM_TERMS = 2
 
     def stack_w(w):
         """(8, M) f32 triangle forms → (8·len(pairs), M) bf16 stack — the
@@ -786,7 +813,18 @@ def _trav_kernel(
         vb[:, sl] = jnp.where(imp, cv, vb[:, sl])
 
     def dmas(slot, c, with_attrs):
-        ops = [pltpu.make_async_copy(wtri_hbm.at[c], wscr.at[slot], sems.at[slot, 0])]
+        # TPURT_PROF_DMA_ROWS (stream-stage probe only): fetch that many of
+        # the 8 form rows — values are garbage-but-finite (only _consume'd),
+        # the BYTES scale proportionally.  Differencing stream-stage times
+        # at 8 vs 2 rows separates DMA-transfer cost from scalar sequencing
+        # (the r5 prestack negative suggested the stream is transfer-bound).
+        if PROF == "stream" and PROF_DMA_ROWS:
+            ops = [pltpu.make_async_copy(
+                wtri_hbm.at[c, 0:PROF_DMA_ROWS], wscr.at[slot, 0:PROF_DMA_ROWS],
+                sems.at[slot, 0])]
+        else:
+            ops = [pltpu.make_async_copy(wtri_hbm.at[c], wscr.at[slot],
+                                         sems.at[slot, 0])]
         if with_attrs:
             ops.append(
                 pltpu.make_async_copy(attr_hbm.at[c], ascr.at[slot], sems.at[slot, 1])
@@ -839,10 +877,14 @@ def _trav_kernel(
                     op.wait()
                 cw = c // 16
                 cb = c % 16
-                # chunk-invariant: reshape (+ bf16x3 stack) once per cluster
-                wblk = wscr[slot].reshape(8, 6 * LANES)
-                if MM3X:
-                    wblk = stack_w(wblk)
+                # chunk-invariant: reshape (+ split stack) once per cluster;
+                # PRESTACK ships the stack pre-built from HBM (r5)
+                if MM3X and PRESTACK:
+                    wblk = wscr[slot].reshape(_MM_SROWS, 6 * LANES)
+                else:
+                    wblk = wscr[slot].reshape(8, 6 * LANES)
+                    if MM3X:
+                        wblk = stack_w(wblk)
                 for ch in range(nch):
                     bit = (masks[KB + ch, cw] >> cb) & 1
 
@@ -1079,10 +1121,14 @@ def _trav_kernel(
                         op.wait()
                     cw = c // 16
                     cb = c % 16
-                    # chunk-invariant: reshape (+ bf16x3 stack) per cluster
-                    wblk = wscr[slot].reshape(8, 6 * LANES)
-                    if MM3X:
-                        wblk = stack_w(wblk)
+                    # chunk-invariant: reshape (+ split stack) per cluster;
+                    # PRESTACK ships the stack pre-built from HBM (r5)
+                    if MM3X and PRESTACK:
+                        wblk = wscr[slot].reshape(_MM_SROWS, 6 * LANES)
+                    else:
+                        wblk = wscr[slot].reshape(8, 6 * LANES)
+                        if MM3X:
+                            wblk = stack_w(wblk)
                     for ch in range(nch):
                         bit = (masks[KB + ch, cw] >> cb) & 1
 
@@ -1272,7 +1318,9 @@ def _scratch_shapes(C_pad, nch=NCH):
         pltpu.SMEM((min(C_pad, MAXS),), jnp.int32),   # slist
         pltpu.SMEM((1,), jnp.int32),              # scnt
         pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
-        pltpu.VMEM((DMA_DEPTH, 8, 6, LANES), jnp.float32),    # wscr
+        (pltpu.VMEM((DMA_DEPTH, _MM_SROWS, 6 * LANES), jnp.bfloat16)
+         if (MM3X and PRESTACK)
+         else pltpu.VMEM((DMA_DEPTH, 8, 6, LANES), jnp.float32)),  # wscr
         pltpu.VMEM((DMA_DEPTH, TROWS, LANES), jnp.float32),   # ascr
         pltpu.VMEM((1, RAYS), jnp.float32),       # tb
         pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
@@ -1292,6 +1340,15 @@ def _glob_pad(packed):
     glob = packed.globals
     gpad = -(-glob.shape[1] // LANES) * LANES
     return jnp.pad(glob, ((0, 0), (0, gpad - glob.shape[1])))
+
+
+def _wtri_op(packed):
+    """The streamed triangle-form operand: prestacked (C, SROWS, 768) bf16
+    when PRESTACK (built once per frame at XLA level, CSE'd across the
+    frame's passes), else the raw (C, 8, 6, LANES) f32 forms."""
+    if MM3X and PRESTACK:
+        return prestack_wtri(packed.wtri_c)
+    return packed.wtri_c
 
 
 def trace_records(packed: PackedClusters, config, row0, nrows: int,
@@ -1356,7 +1413,7 @@ def trace_records(packed: PackedClusters, config, row0, nrows: int,
         scratch_shapes=_scratch_shapes(C_pad),
         interpret=_interpret(),
     )(off, glob, packed.wsph, packed.sattr, packed.aabb,
-      packed.wtri_c, packed.attr_c)
+      _wtri_op(packed), packed.attr_c)
     return (ids, occ, tbest,
             jnp.concatenate([s_surv, s_pass, s_ovf, s_strm, s_chnk],
                             axis=0))
@@ -1428,7 +1485,7 @@ def trace_bounce(packed: PackedClusters, config, o, d, alive, n_live,
       row(o[:, 0]), row(o[:, 1]), row(o[:, 2]),
       row(d[:, 0]), row(d[:, 1]), row(d[:, 2]),
       row(alive.astype(jnp.int32)),
-      packed.wtri_c, packed.attr_c)
+      _wtri_op(packed), packed.attr_c)
     return (ids[0], occ[0], tbest[0],
             jnp.concatenate([s_surv, s_pass, s_ovf, s_strm, s_chnk],
                             axis=0))
@@ -1496,7 +1553,7 @@ def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
       row(p[:, 0]), row(p[:, 1]), row(p[:, 2]),
       row(p_off[:, 0]), row(p_off[:, 1]), row(p_off[:, 2]),
       row(alive.astype(jnp.int32)),
-      packed.wtri_c, packed.attr_c)
+      _wtri_op(packed), packed.attr_c)
     return (occ[0],
             jnp.concatenate([s_surv, s_pass, s_ovf, s_strm, s_chnk],
                             axis=0))

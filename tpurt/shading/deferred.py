@@ -36,20 +36,19 @@ from tpurt.core.types import pytree_dataclass
 
 #: backward of the material-table row gather as a one-hot MXU matmul
 #: instead of an N-row scatter-add into M rows (A/B constant, trace time).
-#: Default OFF: measured config5 @1080p fwdbwd 943.9 ms with the plain
-#: scatter vs 967.3/961.1 ms with the one-hot matmul (reproduced twice) —
-#: at M=4 material rows the (N, M) one-hot build + HIGHEST matmul costs
-#: more than the tiny scatter it replaces.  TEX_SEGSUM=1 alone measured
-#: 948.5 ms, but COMBINED with MAT_SEGSUM=0 it regresses to 1030.8 ms
-#: (reproduced) — do not enable both.
-MAT_SEGSUM = os.environ.get("TPURT_MAT_SEGSUM", "0") != "0"
+#: History: r2 measured both flags as losses/non-additive on the
+#: pre-compaction pre-bf16x6 graph (config5 fwdbwd 943.9 plain vs 967.3
+#: MAT=1; TEX=1+MAT=0 regressed to 1030.8).  r5 re-measured under the
+#: CURRENT graph (compaction + bf16x6 + vtab segsum): BOTH ON wins,
+#: 174.5 → 170.7 ms c5 bwd-extra — defaults flipped ON (VERDICT r4 item 4
+#: asked for exactly this re-measurement).
+MAT_SEGSUM = os.environ.get("TPURT_MAT_SEGSUM", "1") != "0"
 
 #: backward of the texel quad-table gather as a FACTORED one-hot matmul:
 #: dquad[r, c, k] = Σ_n Y[n,r]·X[n,c]·cot[n,k] with Y/X one-hots over the
 #: (texture-row, texel-column) split — ~12·N·64 f32 of matmul traffic vs a
-#: 2M-update scatter-add.  Default OFF until the scatter is measured on
-#: the real chip (scripts/tpu_sweep.sh)
-TEX_SEGSUM = os.environ.get("TPURT_TEX_SEGSUM", "0") != "0"
+#: 2M-update scatter-add.  Default ON since r5 (see MAT_SEGSUM note).
+TEX_SEGSUM = os.environ.get("TPURT_TEX_SEGSUM", "1") != "0"
 #: backward of the per-triangle shadepack gather as a SORTED segment-sum:
 #: the hit topology is fixed (stop_gradient ints), so the forward graph
 #: can afford an argsort of the 2M pids; the transpose then permutes the
@@ -384,6 +383,24 @@ def _pack_gather_fwd(smooth, textured, pack_sg, vtab, tri, pid):
 _VTAB_PARTS_ENV = os.environ.get("TPURT_VTAB_SCATTER_PARTS", "auto")
 _VTAB_PARTS_MIN_BYTES = 12 << 20
 
+#: r5: route the vertex-table accumulation through the Pallas sorted
+#: segment-sum kernel (tpurt/kernels/segsum.py) instead of the XLA serial
+#: scatter.  In-graph the serial scatter measures ~50-80 ns/update
+#: (ablate_bwd_real r5 tier — ~4× its standalone rate); the kernel's MXU
+#: one-hot accumulation runs ~13 ns/update plus one argsort + permutation
+#: gather (both at gather speed).  "auto" enables it exactly where the
+#: scatter hurts: targets past the residency cliff (same gate as the K=2
+#: range partition it replaces).  Gradients differ from the scatter only
+#: in f32 accumulation order (allclose; tested).
+_VTAB_SEGSUM_ENV = os.environ.get("TPURT_VTAB_SEGSUM", "auto")
+
+
+def _vtab_segsum_on(vtab_shape) -> bool:
+    if _VTAB_SEGSUM_ENV != "auto":
+        return _VTAB_SEGSUM_ENV != "0"
+    rows, cols = vtab_shape
+    return rows * cols * 4 > _VTAB_PARTS_MIN_BYTES
+
 
 def _vtab_scatter_parts(vtab_shape) -> int:
     if _VTAB_PARTS_ENV != "auto":
@@ -414,6 +431,15 @@ def _pack_gather_bwd(smooth, textured, res, cot):
          if len(parts[c]) > 1 else parts[c][0])
         for c in range(3)
     ]
+    if _vtab_segsum_on(vtab_shape):
+        from tpurt.kernels.segsum import segsum_rows
+
+        idx_all = jnp.concatenate([i3[:, 0], i3[:, 1], i3[:, 2]])
+        upd_all = jnp.concatenate(upds, axis=0)
+        dvtab = segsum_rows(idx_all, upd_all, vtab_shape[0])
+        f0 = lambda s: np.zeros(s, dtype=jax.dtypes.float0)  # noqa: E731
+        return (jnp.zeros(pack_shape, cotf.dtype), dvtab, f0(tri_shape),
+                f0(pid_shape))
     K = _vtab_scatter_parts(vtab_shape)
     if K == 1:
         dvtab = jnp.zeros(vtab_shape, cotf.dtype)
