@@ -130,3 +130,40 @@ def test_fused_l2_train_kernel_matches_generic():
                 continue
             np.testing.assert_allclose(
                 a, b, rtol=1e-4, atol=1e-4 * max(1.0, np.abs(b).max()))
+
+
+def test_hand_adjoint_matches_vjp_kernel(monkeypatch):
+    """The HAND-DERIVED fused L2 backward (tpurt/kernels/megabwd.py,
+    TPURT_P1_HAND) must match the replay-under-jax.vjp kernel on loss and
+    every gradient leaf — with the dead/sky-tile skips ON (their branches
+    are exact, not approximations).  Covers all three phase-1 configs:
+    sphere-only, tri-only, and the depth-2 reflective mix."""
+    import jax
+    import jax.numpy as jnp
+
+    from tpurt.kernels import megabwd as MB
+    from tpurt.kernels import megakernel as MK
+
+    for build in (configs.config1_sphere, configs.config2_cornell,
+                  configs.config3_spheres):
+        scene, cfg = build(24, 24)
+        target = jax.random.uniform(jax.random.PRNGKey(2),
+                                    (cfg.height, cfg.width, 3))
+        monkeypatch.setattr(MK, "P1_HAND", False)
+        l0, g0 = jax.jit(
+            lambda s, _c=cfg: MK.l2_loss_and_grad(s, target, _c))(scene)
+        monkeypatch.setattr(MK, "P1_HAND", True)
+        monkeypatch.setattr(MB, "HAND_SKIP", True)
+        jax.clear_caches()  # flags are read at trace time
+        l1, g1 = jax.jit(
+            lambda s, _c=cfg: MK.l2_loss_and_grad(s, target, _c))(scene)
+        np.testing.assert_allclose(float(l0), float(l1), rtol=1e-6)
+        for la, lb in zip(jax.tree_util.tree_leaves(g0),
+                          jax.tree_util.tree_leaves(g1)):
+            a, b = np.asarray(la), np.asarray(lb)
+            if not np.issubdtype(a.dtype, np.floating):
+                continue
+            assert np.isfinite(b).all()
+            np.testing.assert_allclose(
+                a, b, rtol=1e-4, atol=1e-5 * max(1.0, np.abs(a).max()))
+        jax.clear_caches()

@@ -48,6 +48,12 @@ from tpurt.kernels.megakernel import (_add3, _dot3, _neg3, _normalize3,
 
 f32 = jnp.float32
 
+#: cond-skip dead/sky tiles in BOTH sweeps (exact; see module doc).  The
+#: flag exists for A/B and for debugging the straight-line adjoint.
+import os as _os  # noqa: E402
+
+HAND_SKIP = _os.environ.get("TPURT_P1_HAND_SKIP", "1") != "0"
+
 
 def _nrm_bwd(v3, cot_n3):
     """Adjoint of _normalize3: n = v·s, s = rsqrt(v·v + eps) ⇒
@@ -221,12 +227,18 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
         return occ
 
     # =======================================================================
-    # forward sweep — residuals per depth kept live for the reverse sweep
+    # forward sweep — residuals per depth kept live for the reverse sweep.
+    # Dead/sky tiles cond-skip whole depths (HAND_SKIP): every value that
+    # crosses a cond boundary is NUMERIC (alive rides as f32 0/1), so the
+    # vector<i1>-residual Mosaic limitation that blocks the vjp replay's
+    # conds never arises.  Skip branches are EXACT (see megakernel.py
+    # shade_skip rationale): an all-miss depth contributes live·bg with
+    # dead throughput; an all-dead depth is the identity.
     # =======================================================================
     bg = tuple(jnp.full((1, R), C.BACKGROUND[c], f32) for c in range(3))
     accum = tuple(jnp.zeros((1, R), f32) for _ in range(3))
     thr = jnp.ones((1, R), f32)
-    alive = jnp.ones((1, R), bool)
+    alive_f = jnp.ones((1, R), f32)
     o, d = o0, d0
     res = []
 
@@ -236,8 +248,11 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
     def a3(a, k):
         return (a1(a, k), a1(a, k + 1), a1(a, k + 2))
 
-    for _depth in range(max_depth + 1):
-        t, a, u, v, win, six = closest(o, d)
+    def _anyrow(x):                   # (1, R) f32 → scalar bool
+        return jnp.sum(x) > 0.0
+
+    def shade_sec(t, a, u, v, win, six, args):
+        o, d, thr, alive_f, accum = args
         hit = t < C.T_MAX
         p = _add3(o, _scale3(d, t))
         w_bar = 1.0 - u - v
@@ -287,15 +302,68 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
             )
 
         color = _where3(hit, color, bg)
-        live = thr * alive.astype(f32)
+        live = thr * alive_f
         accum = tuple(accum[c] + live * color[c] for c in range(3))
         refl_m = jnp.where(hit, refl_a, 0.0)
-        res.append(dict(o=o, d=d, thr=thr, alive=alive, t=t, a=a, u=u, v=v,
-                        win=win, six=six, occ=occ_bits, color=color))
-        thr = thr * refl_m
-        alive = alive & hit & (refl_m > 0.0)
-        o = p_off
-        d = _reflect3(d, n)
+        thr2 = thr * refl_m
+        alive2 = jnp.where(hit & (refl_m > 0.0), alive_f, 0.0)
+        return (accum, thr2, alive2, p_off, _reflect3(d, n), occ_bits,
+                color)
+
+    def shade_sky(t, a, u, v, win, six, args):
+        o, d, thr, alive_f, accum = args
+        live = thr * alive_f
+        accum = tuple(accum[c] + live * bg[c] for c in range(3))
+        return (accum, jnp.zeros_like(thr), jnp.zeros_like(alive_f), o, d,
+                jnp.zeros((1, R), jnp.int32), bg)
+
+    def layer_defaults():
+        return (jnp.full((1, R), C.T_NONE, f32),
+                jnp.zeros((PK.ACOLS, R), f32),
+                jnp.zeros((1, R), f32), jnp.zeros((1, R), f32),
+                jnp.full((1, R), -1, jnp.int32),
+                tuple(jnp.zeros((1, R), f32) for _ in range(6)))
+
+    for _depth in range(max_depth + 1):
+        args = (o, d, thr, alive_f, accum)
+        if _depth == 0:
+            t, a, u, v, win, six = closest(o, d)
+            six = tuple(six)
+            hit_any = (t < C.T_MAX).astype(f32)
+            if HAND_SKIP:
+                (accum, thr, alive_f, o, d, occ_bits, color) = lax.cond(
+                    _anyrow(hit_any),
+                    functools.partial(shade_sec, t, a, u, v, win, six),
+                    functools.partial(shade_sky, t, a, u, v, win, six),
+                    args)
+            else:
+                (accum, thr, alive_f, o, d, occ_bits, color) = shade_sec(
+                    t, a, u, v, win, six, args)
+        else:
+            def layer_full(args):
+                o_, d_ = args[0], args[1]
+                t_, a_, u_, v_, win_, six_ = closest(o_, d_)
+                six_ = tuple(six_)
+                outs = shade_sec(t_, a_, u_, v_, win_, six_, args)
+                return outs + (t_, a_, u_, v_, win_, six_)
+
+            def layer_idle(args):
+                o_, d_, thr_, alive_, accum_ = args
+                t_, a_, u_, v_, win_, six_ = layer_defaults()
+                return ((accum_, thr_, alive_, o_, d_,
+                         jnp.zeros((1, R), jnp.int32), bg)
+                        + (t_, a_, u_, v_, win_, six_))
+
+            if HAND_SKIP:
+                (accum, thr, alive_f, o, d, occ_bits, color, t, a, u, v,
+                 win, six) = lax.cond(_anyrow(alive_f), layer_full,
+                                      layer_idle, args)
+            else:
+                (accum, thr, alive_f, o, d, occ_bits, color, t, a, u, v,
+                 win, six) = layer_full(args)
+        res.append(dict(o=args[0], d=args[1], thr=args[2], alive=args[3],
+                        t=t, a=a, u=u, v=v, win=win, six=six, occ=occ_bits,
+                        color=color))
 
     clipped = tuple(jnp.clip(accum[c], C.CLAMP_LO, C.CLAMP_HI)
                     for c in range(3))
@@ -311,42 +379,39 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
     )
 
     # =======================================================================
-    # reverse sweep
+    # reverse sweep — one cond-skipped adjoint block per depth; the carry
+    # (ray/throughput cotangents + every parameter accumulator) is all-f32
     # =======================================================================
-    dglob = jnp.zeros_like(glob)
-    # per-BLOCK cotangent accumulators, concatenated at the end: a static
-    # .at[slice].add on these arrays lowers to lax.scatter with EMPTY i32
-    # index constants, which pallas rejects as captured constants
-    dwt_b = [jnp.zeros((8, 6 * TLB), f32) for _ in range(nb_t)]
-    dws_b = [jnp.zeros((8, 2 * SLB), f32) for _ in range(nb_s)]
-    dat_b = ([jnp.zeros((TLB, PK.ACOLS), f32) for _ in range(nb_t)]
-             + [jnp.zeros((SLB, PK.ACOLS), f32) for _ in range(nb_s)])
+    dglob0 = jnp.zeros_like(glob)
+    dwt_b0 = tuple(jnp.zeros((8, 6 * TLB), f32) for _ in range(nb_t))
+    dws_b0 = tuple(jnp.zeros((8, 2 * SLB), f32) for _ in range(nb_s))
+    dat_b0 = (tuple(jnp.zeros((TLB, PK.ACOLS), f32) for _ in range(nb_t))
+              + tuple(jnp.zeros((SLB, PK.ACOLS), f32) for _ in range(nb_s)))
 
-    def glob_add(k, val):
-        """Accumulate a (1,R)-summed scalar into dglob lane k."""
-        nonlocal dglob
-        s = jnp.sum(val, axis=1, keepdims=True)
-        dglob = dglob + jnp.where(lane_g == k, s, 0.0)
+    zero3 = (jnp.zeros((1, R), f32),) * 3
+    carry = (zero3, zero3, jnp.zeros((1, R), f32), dglob0, dwt_b0, dws_b0,
+             dat_b0)
 
-    def glob_add3(k, v3):
-        for i in range(3):
-            glob_add(k + i, v3[i])
-
-    cot_o = (jnp.zeros((1, R), f32),) * 3
-    cot_d = (jnp.zeros((1, R), f32),) * 3
-    cot_thr = jnp.zeros((1, R), f32)
-
-    for _depth in range(max_depth, -1, -1):
-        rd = res[_depth]
-        o, d, thr, alive = rd["o"], rd["d"], rd["thr"], rd["alive"]
+    def bwd_depth(rd, carry):
+        cot_o, cot_d, cot_thr, dglob, dwt_b, dws_b, dat_b = carry
+        dwt_b, dws_b, dat_b = list(dwt_b), list(dws_b), list(dat_b)
+        o, d, thr, alive_f = rd["o"], rd["d"], rd["thr"], rd["alive"]
         t, a, u, v, win, six = (rd["t"], rd["a"], rd["u"], rd["v"],
                                 rd["win"], rd["six"])
         occ_bits, color = rd["occ"], rd["color"]
         hit = t < C.T_MAX
-        alive_f = alive.astype(f32)
         live = thr * alive_f
         refl_a = a1(a, PK.A_REFL)
         refl_m = jnp.where(hit, refl_a, 0.0)
+
+        def glob_add(dg, k, val):
+            sm = jnp.sum(val, axis=1, keepdims=True)
+            return dg + jnp.where(lane_g == k, sm, 0.0)
+
+        def glob_add3(dg, k, v3):
+            for i in range(3):
+                dg = glob_add(dg, k + i, v3[i])
+            return dg
 
         # recompute the (cheap) shading intermediates at fixed residuals
         p = _add3(o, _scale3(d, t))
@@ -368,7 +433,7 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
         shin = a1(a, PK.A_SHIN)
         view = _neg3(d)
 
-        # ---- thr' = thr·refl_m ; alive' boolean (no cotangent) ------------
+        # ---- thr2 = thr·refl_m --------------------------------------------
         cot_refl_m = cot_thr * thr
         cot_thr_in = cot_thr * refl_m
         cot_a = jnp.zeros((PK.ACOLS, R), f32)
@@ -388,14 +453,13 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
         cot_live = sum(cot_acc[c] * color[c] for c in range(3))
         cot_thr_in = cot_thr_in + cot_live * alive_f
         cot_color = tuple(cot_acc[c] * live for c in range(3))
-        # color = where(hit, shaded, bg)
         cot_csh = tuple(jnp.where(hit, cot_color[c], 0.0) for c in range(3))
 
         # ---- lights (adjoint; intermediates recomputed per light) ---------
         cot_n = (jnp.zeros((1, R), f32),) * 3
         cot_p = (jnp.zeros((1, R), f32),) * 3
         cot_view = (jnp.zeros((1, R), f32),) * 3
-        cot_u_s = jnp.zeros((1, R), f32)   # shading contributions to u, v
+        cot_u_s = jnp.zeros((1, R), f32)
         cot_v_s = jnp.zeros((1, R), f32)
         for li in range(n_lights):
             lpos = g3(PK.NGLOB_BASE + 3 * li)
@@ -431,13 +495,14 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
             cot_lcol = tuple(
                 vis * (kd[c] * ndotl + ks[c] * spec) * cot_csh[c]
                 for c in range(3))
-            glob_add3(PK.NGLOB_BASE + 3 * n_lights + 3 * li, cot_lcol)
+            dglob = glob_add3(dglob, PK.NGLOB_BASE + 3 * n_lights + 3 * li,
+                              cot_lcol)
             cot_a = arow3(cot_a, PK.A_KD, cot_kd)
             cot_a = arow3(cot_a, PK.A_KS, cot_ks)
 
-            # spec = mask · safe_rv^shin
             cot_srv = jnp.where(specmask,
-                                shin * safe_rv ** (shin - 1.0), 0.0) * cot_spec
+                                shin * safe_rv ** (shin - 1.0),
+                                0.0) * cot_spec
             cot_shin = jnp.where(specmask, spec * jnp.log(safe_rv),
                                  0.0) * cot_spec
             cot_a = arow(cot_a, PK.A_SHIN, cot_shin)
@@ -449,46 +514,40 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
             cot_m, cot_n_r = _refl_bwd(mneg, n, cot_refl_l)
             cot_n = tuple(cot_n[k] + cot_n_r[k] for k in range(3))
             cot_ldir = _neg3(cot_m)
-            # ndotl = max(n·ldir, 0)
             cot_raw_nl = jnp.where(raw_nl > 0.0, cot_ndotl, 0.0)
             cot_n = tuple(cot_n[k] + ldir[k] * cot_raw_nl for k in range(3))
             cot_ldir = tuple(cot_ldir[k] + n[k] * cot_raw_nl
                              for k in range(3))
-            # ldir = to_l · inv
             cot_to_l = tuple(cot_ldir[k] * inv for k in range(3))
             cot_inv = _dot3(to_l, cot_ldir)
             cot_minv = -(inv * inv) * cot_inv
             cot_dist = jnp.where(dist > 1e-20, cot_minv, 0.0)
-            # dist = sqrt(dist2); dist2 = to_l·to_l
             cot_dist2 = jnp.where(dist2 > 0.0, cot_dist / (2.0 * dist), 0.0)
             cot_to_l = tuple(cot_to_l[k] + 2.0 * to_l[k] * cot_dist2
                              for k in range(3))
-            # to_l = lpos − p
-            glob_add3(PK.NGLOB_BASE + 3 * li, cot_to_l)
+            dglob = glob_add3(dglob, PK.NGLOB_BASE + 3 * li, cot_to_l)
             cot_p = tuple(cot_p[k] - cot_to_l[k] for k in range(3))
 
-        # ambient term
         cot_a = arow3(cot_a, PK.A_KA,
                       tuple(ambient[c] * cot_csh[c] for c in range(3)))
-        glob_add3(12, tuple(ka[c] * cot_csh[c] for c in range(3)))
+        dglob = glob_add3(dglob, 12,
+                          tuple(ka[c] * cot_csh[c] for c in range(3)))
 
-        # ---- next-ray carries: o' = p_off, d' = reflect(d, n) -------------
+        # ---- next-ray carries: o2 = p_off, d2 = reflect(d, n) -------------
         cot_p = tuple(cot_p[k] + cot_o[k] for k in range(3))
         cot_n = tuple(cot_n[k] + C.RAY_OFFSET_EPS * cot_o[k]
                       for k in range(3))
         cot_d_in, cot_n_r2 = _refl_bwd(d, n, cot_d)
         cot_n = tuple(cot_n[k] + cot_n_r2[k] for k in range(3))
-        cot_view_d = _neg3(cot_view)          # view = −d
+        cot_view_d = _neg3(cot_view)
         cot_d_in = tuple(cot_d_in[k] + cot_view_d[k] for k in range(3))
 
         # ---- n = where(is_sph, n_sph, n_tri) ------------------------------
         cot_nsph = _where3(is_sph, cot_n, (0.0,) * 3)
         cot_ntri = _where3(is_sph, (0.0,) * 3, cot_n)
-        # n_sph = normalize(p − center)
         cot_psub = _nrm_bwd(psub, cot_nsph)
         cot_p = tuple(cot_p[k] + cot_psub[k] for k in range(3))
         cot_a = arow3(cot_a, PK.A_CENTER, _neg3(cot_psub))
-        # n_tri = ±n_int (flip fixed)
         cot_nint = _where3(flip, _neg3(cot_ntri), cot_ntri)
         cot_g = _nrm_bwd(gsum, cot_nint)
         cot_a = arow3(cot_a, PK.A_N0,
@@ -506,15 +565,12 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
         cot_d_in = tuple(cot_d_in[k] + t * cot_p[k] for k in range(3))
 
         # ---- winner transpose (closest adjoint) ---------------------------
-        # gate every analytic cotangent by hit (miss lanes carry t = T_NONE
-        # through a where(hit,...) fold — their cotangent is exactly zero)
-        is_tri_w = hit & (win < t_pad)
+        is_tri_w = hit & (win < t_pad) & (win >= 0)
         is_sph_w = hit & (win >= t_pad)
         cot_u_tot = jnp.where(is_tri_w, cot_u_s, 0.0)
         cot_v_tot = jnp.where(is_tri_w, cot_v_s, 0.0)
         no_w, nd_w = six[0], six[1]
-        uo_w, ud_w, vo_w, vd_w = six[2], six[3], six[4], six[5]
-        # u = uo + t·ud, v = vo + t·vd  ⇒ t also feeds u, v
+        ud_w, vd_w = six[3], six[5]
         cot_t_tri = jnp.where(
             is_tri_w, cot_t + ud_w * cot_u_tot + vd_w * cot_v_tot, 0.0)
         good_w = jnp.abs(nd_w) >= C.MT_DET_EPS
@@ -529,7 +585,7 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
         # sphere winner: t from the selected quadratic root
         oo = _dot3(o, o)
         od = _dot3(o, d)
-        ct_w, cd_w = six[0], six[1]           # same slots for sphere blocks
+        ct_w, cd_w = six[0], six[1]
         b_half = od - cd_w
         cterm = oo + ct_w
         disc = b_half * b_half - cterm
@@ -553,7 +609,7 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
                          for k in range(3))
         cot_d_in = tuple(cot_d_in[k] + o[k] * cot_od for k in range(3))
 
-        # per-block form transposes: d_wb = X·d_formsᵀ, d_X += wb·d_forms
+        # per-block form transposes: d_wb = X·d_formsT, d_X += wb·d_forms
         X = build_X(o, d)
         cot_X = jnp.zeros((8, R), f32)
         for b in range(nb_t):
@@ -567,7 +623,7 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
                 X, d_forms, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
                 precision=lax.Precision.HIGHEST,
-            )                                    # (8, 6·TLB)
+            )
             dwt_b[b] = dwt_b[b] + dwb
             cot_X = cot_X + lax.dot_general(
                 wb, d_forms, (((1,), (0,)), ((), ())),
@@ -592,7 +648,6 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
                 preferred_element_type=f32,
                 precision=lax.Precision.HIGHEST,
             )
-        # X rows: [o | 1 | d | 0]
         cot_o_in = tuple(cot_o_in[k] + cot_X[k : k + 1, :] for k in range(3))
         cot_d_in = tuple(cot_d_in[k] + cot_X[4 + k : 5 + k, :]
                          for k in range(3))
@@ -605,7 +660,7 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
                 onehot, cot_a, (((1,), (1,)), ((), ())),
                 preferred_element_type=f32,
                 precision=lax.Precision.HIGHEST,
-            )                                    # (TLB, ACOLS)
+            )
             dat_b[b] = dat_b[b] + dab
         for b in range(nb_s):
             base = t_pad + b * SLB
@@ -618,21 +673,53 @@ def _tile_l2_hand(glob, wtri, wsph, attrs, tgt, pix0, statics):
             )
             dat_b[nb_t + b] = dat_b[nb_t + b] + dab
 
-        cot_o, cot_d, cot_thr = cot_o_in, cot_d_in, cot_thr_in
+        return (cot_o_in, cot_d_in, cot_thr_in, dglob, tuple(dwt_b),
+                tuple(dws_b), tuple(dat_b))
+
+    def bwd_sky0(rd, carry):
+        """Adjoint of shade_sky (the depth-0 all-miss branch): the layer
+        was accum += thr·alive·bg with thr2 = 0, so only cot_thr changes."""
+        cot_o, cot_d, cot_thr, dglob, dwt_b, dws_b, dat_b = carry
+        cot_thr_new = rd["alive"] * sum(bg[c] * cot_acc[c] for c in range(3))
+        return (cot_o, cot_d, cot_thr_new, dglob, dwt_b, dws_b, dat_b)
+
+    for _depth in range(max_depth, -1, -1):
+        rd = res[_depth]
+        if not HAND_SKIP:
+            carry = bwd_depth(rd, carry)
+        elif _depth == 0:
+            carry = lax.cond(
+                _anyrow((rd["t"] < C.T_MAX).astype(f32)),
+                functools.partial(bwd_depth, rd),
+                functools.partial(bwd_sky0, rd), carry)
+        else:
+            # a depth whose layer was idle (no live lane) is the identity
+            # in the forward, hence the identity on every cotangent
+            carry = lax.cond(
+                _anyrow(rd["alive"]),
+                functools.partial(bwd_depth, rd), lambda cr: cr, carry)
+
+    cot_o, cot_d, cot_thr, dglob, dwt_b, dws_b, dat_b = carry
 
     # ---- ray-gen adjoint ---------------------------------------------------
     # o0 = eye (broadcast); d0 = normalize(fwd + right·sx + up·sy)
-    glob_add3(0, cot_o)
-    cot_graw = _nrm_bwd(graw, cot_d)
-    glob_add3(3, cot_graw)
-    glob_add3(6, tuple(sx * cot_graw[k] for k in range(3)))
-    glob_add3(9, tuple(sy * cot_graw[k] for k in range(3)))
+    def glob_fin3(dg, k, v3):
+        for i in range(3):
+            sm = jnp.sum(v3[i], axis=1, keepdims=True)
+            dg = dg + jnp.where(lane_g == k + i, sm, 0.0)
+        return dg
 
-    dwtri = (jnp.concatenate(dwt_b, axis=1) if nb_t
+    dglob = glob_fin3(dglob, 0, cot_o)
+    cot_graw = _nrm_bwd(graw, cot_d)
+    dglob = glob_fin3(dglob, 3, cot_graw)
+    dglob = glob_fin3(dglob, 6, tuple(sx * cot_graw[k] for k in range(3)))
+    dglob = glob_fin3(dglob, 9, tuple(sy * cot_graw[k] for k in range(3)))
+
+    dwtri = (jnp.concatenate(list(dwt_b), axis=1) if nb_t
              else jnp.zeros_like(wtri))
-    dwsph = (jnp.concatenate(dws_b, axis=1) if nb_s
+    dwsph = (jnp.concatenate(list(dws_b), axis=1) if nb_s
              else jnp.zeros_like(wsph))
-    dattrs = (jnp.concatenate(dat_b, axis=0) if dat_b
+    dattrs = (jnp.concatenate(list(dat_b), axis=0) if dat_b
               else jnp.zeros_like(attrs))
     return sq, dglob, dwtri, dwsph, dattrs
 

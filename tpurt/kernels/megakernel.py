@@ -56,7 +56,7 @@ RAYS_BWD = 256     # backward tile width (transposed live-set must fit VMEM)
 #: kernel — BASELINE.json:5 "hand-derived backward kernels"; also the only
 #: path that can dead-tile-skip the backward (the vjp's linearized cond
 #: emits vector<i1> residual selects Mosaic cannot lower)
-P1_HAND = os.environ.get("TPURT_P1_HAND", "0") != "0"
+P1_HAND = os.environ.get("TPURT_P1_HAND", "1") != "0"
 LANES = PK.LANES
 
 _F32_MAX_PRIMS = 4096  # phase-1 all-in-VMEM limit per primitive type
@@ -359,6 +359,17 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None,
     # jax.vjp the linearized cond selects over vector<i1> RESIDUALS, which
     # Mosaic cannot lower ("Null layout / non-vector operand", measured on
     # chip r5) — so the vjp-replayed kernels run the straight-line body.
+    # The cond itself must also carry no bool vectors (scf.if with
+    # vector<i1> results fails to legalize — measured r5): `alive` crosses
+    # the boundary as i32.
+    def _numeric(fn):
+        def f2(args):
+            o_, d_, accum_, thr_, ali_ = args
+            out = fn((o_, d_, accum_, thr_, ali_ != 0))
+            acc2, thr2, alive2, o2, d2, occ2 = out
+            return (acc2, thr2, alive2.astype(jnp.int32), o2, d2, occ2)
+        return f2
+
     for _depth in range(max_depth + 1):
         if _depth == 0:
             # depth 0: every lane is alive; closest always runs, the
@@ -366,12 +377,13 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None,
             t, a, u, v = closest(o, d)
             args0 = (o, d, accum, thr, alive)
             if skippable:
-                accum, thr, alive, o, d, occ_bits = lax.cond(
+                accum, thr, alive_i, o, d, occ_bits = lax.cond(
                     _any(t < C.T_MAX),
-                    functools.partial(shade_at, _depth, t, a, u, v),
-                    functools.partial(shade_skip, t, a, u, v),
-                    args0,
+                    _numeric(functools.partial(shade_at, _depth, t, a, u, v)),
+                    _numeric(functools.partial(shade_skip, t, a, u, v)),
+                    (o, d, accum, thr, alive.astype(jnp.int32)),
                 )
+                alive = alive_i != 0
             else:
                 accum, thr, alive, o, d, occ_bits = shade_at(
                     _depth, t, a, u, v, args0)
@@ -387,13 +399,15 @@ def _tile_color(glob, wtri, wsph, attrs, pix0, statics, occ_rec=None,
 
             def idle(args):
                 o_, d_, accum_, thr_, alive_ = args
-                return (accum_, thr_, alive_, o_, d_,
+                return (accum_, thr_, alive_.astype(jnp.int32), o_, d_,
                         jnp.zeros((1, R), jnp.int32))
 
             if skippable:
-                accum, thr, alive, o, d, occ_bits = lax.cond(
-                    _any(alive), full_body, idle, (o, d, accum, thr, alive),
+                accum, thr, alive_i, o, d, occ_bits = lax.cond(
+                    _any(alive), _numeric(full_body), idle,
+                    (o, d, accum, thr, alive.astype(jnp.int32)),
                 )
+                alive = alive_i != 0
             else:
                 accum, thr, alive, o, d, occ_bits = full_body(
                     (o, d, accum, thr, alive))
