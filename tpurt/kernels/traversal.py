@@ -137,6 +137,12 @@ FAST_ANYHIT = os.environ.get("TPURT_FAST_ANYHIT", "0") != "0"
 PROF = os.environ.get("TPURT_PROF", "")
 #: stream-stage DMA byte-scaling probe (see dmas() in the kernel): 0 = off
 PROF_DMA_ROWS = int(os.environ.get("TPURT_PROF_DMA_ROWS", "0"))
+#: survivor-ADJACENCY measurement (decides span-coalesced DMA, VERDICT r4
+#: item 3a): under TPURT_RUN_STATS=1 + TPURT_PROF=scan, s_chnk counts RUNS
+#: of consecutive survivor ids instead of chunk visits (the stream loop
+#: never runs under PROF=scan, so the row is unaliased); mean run length =
+#: s_surv / s_chnk.  Measurement-only flag.
+RUN_STATS = os.environ.get("TPURT_RUN_STATS", "0") != "0"
 assert PROF in ("", "launch", "cull", "scan", "stream", "mmraw", "mm"), PROF
 #: intersection-matmul precision (TPURT_MM_PREC = highest | bf16x3 |
 #: default).  The r4 stage profiler (scripts/prof_traversal.py) measured
@@ -665,6 +671,8 @@ def _trav_kernel(
         cp.wait()
         scnt[0] = 0
         sovf[0] = 0
+        if RUN_STATS:
+            keys_s[0, 1] = -2  # previous emitted id (run-stats probe)
 
         # emission order: closest pass needs near-first (its t-termination
         # reads bstart per bucket); the any-hit shadow pass streams the
@@ -692,6 +700,14 @@ def _trav_kernel(
                                     @pl.when(k < MAXS)
                                     def _():
                                         slist[k] = gword * 16 + b
+                                    if RUN_STATS:
+                                        cid = gword * 16 + b
+
+                                        @pl.when(cid != keys_s[0, 1] + 1)
+                                        def _():
+                                            s_chnk[0, tile_id] = (
+                                                s_chnk[0, tile_id] + 1)
+                                        keys_s[0, 1] = cid
 
                                     @pl.when(k >= MAXS)
                                     def _():
