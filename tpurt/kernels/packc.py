@@ -116,6 +116,14 @@ def pack_clusters(scene, tri_ids) -> PackedClusters:
         attr_rows.reshape(TROWS, Ccount, LANES).transpose(1, 0, 2)
     )                                             # (C, TROWS, 128)
 
+    # 8 zero pad clusters: the span-coalesced streaming loop
+    # (traversal.py SPAN) DMAs fixed-size runs of up to 8 clusters from a
+    # dynamic start; a run starting at the last real cluster must not read
+    # past the array.  Pad rows are never PROCESSED (len guards), only
+    # fetched.
+    wtri_c = jnp.pad(wtri_c, ((0, 8), (0, 0), (0, 0), (0, 0)))
+    attr_c = jnp.pad(attr_c, ((0, 8), (0, 0), (0, 0)))
+
     # refit AABBs from current vertices (stop-gradient: bounds are not a
     # differentiable quantity, and their motion is a visibility effect)
     v1 = g1[:, 0:3]

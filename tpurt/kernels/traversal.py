@@ -143,6 +143,22 @@ PROF_DMA_ROWS = int(os.environ.get("TPURT_PROF_DMA_ROWS", "0"))
 #: never runs under PROF=scan, so the row is unaliased); mean run length =
 #: s_surv / s_chnk.  Measurement-only flag.
 RUN_STATS = os.environ.get("TPURT_RUN_STATS", "0") != "0"
+#: SPAN-COALESCED survivor streaming (r5, VERDICT r4 item 3a): emitted
+#: survivor ids are runs of CONSECUTIVE clusters (measured mean run ~4.1
+#: on config 5 shadow cells: 158974 survivors / 38330 runs, TPURT_RUN_STATS
+#: probe), so the compaction scan can emit (start, len≤SPAN) RUNS packed
+#: as (start << 3) | (len-1) and the streaming loops issue ONE span DMA
+#: per run.  MEASURED NEGATIVE at SPAN=4, default OFF: c5 fwd 265.5 →
+#: 304.5 ms, c4 fwd 76 → 104 ms — the fixed-size span DMA OVER-fetches
+#: short runs (total bytes × SPAN/mean-run), the per-slot `j2 < len`
+#: guards add scalar work per cluster, and the run-building emission adds
+#: ~4 scalar ops per survivor to the scan; together they exceed the saved
+#: DMA issues.  Records are bit-identical either way (tested) — the flag
+#: and the probe stay for other scene shapes.
+SPAN = int(os.environ.get("TPURT_SPAN", "1"))
+if SPAN < 1:
+    SPAN = 1
+assert SPAN <= 8, SPAN  # 3 len bits in the packed entry; packc pads 8
 assert PROF in ("", "launch", "cull", "scan", "stream", "mmraw", "mm"), PROF
 #: intersection-matmul precision (TPURT_MM_PREC = highest | bf16x3 |
 #: default).  The r4 stage profiler (scripts/prof_traversal.py) measured
@@ -213,6 +229,8 @@ def _bf16_split(x, n):
 #: shifted 2.68M → 2.61M).  Flag kept for re-measurement if DMA behavior
 #: changes.
 PRESTACK = os.environ.get("TPURT_PRESTACK", "0") != "0"
+if PRESTACK:
+    SPAN = 1  # the prestack A/B path keeps the singleton stream layout
 
 
 def prestack_wtri(wtri_c):
@@ -673,6 +691,31 @@ def _trav_kernel(
         sovf[0] = 0
         if RUN_STATS:
             keys_s[0, 1] = -2  # previous emitted id (run-stats probe)
+        if SPAN > 1:
+            # run-emission state rides spare keys_s SMEM lanes (the tmax
+            # key DMA only overwrites them DURING streaming, after the
+            # scan): [1] run start, [2] run length, [3] cluster count
+            keys_s[0, 1] = -100
+            keys_s[0, 2] = 0
+            keys_s[0, 3] = 0
+
+        def flush_run():
+            """Emit the open (start, len) run as (start << 3) | (len-1)."""
+            ln = keys_s[0, 2]
+
+            @pl.when(ln > 0)
+            def _():
+                k = scnt[0]
+
+                @pl.when(k < MAXS)
+                def _():
+                    slist[k] = (keys_s[0, 1] << 3) | (ln - 1)
+
+                @pl.when(k >= MAXS)
+                def _():
+                    sovf[0] = 1
+                scnt[0] = k + 1
+                keys_s[0, 2] = 0
 
         # emission order: closest pass needs near-first (its t-termination
         # reads bstart per bucket); the any-hit shadow pass streams the
@@ -695,6 +738,24 @@ def _trav_kernel(
                             def inner(b, _):
                                 @pl.when(((w >> b) & 1) != 0)
                                 def _():
+                                    if SPAN > 1:
+                                        cid = gword * 16 + b
+                                        cont = (
+                                            (cid == keys_s[0, 1]
+                                             + keys_s[0, 2])
+                                            & (keys_s[0, 2] < SPAN))
+
+                                        @pl.when(cont)
+                                        def _():
+                                            keys_s[0, 2] = keys_s[0, 2] + 1
+
+                                        @pl.when(jnp.logical_not(cont))
+                                        def _():
+                                            flush_run()
+                                            keys_s[0, 1] = cid
+                                            keys_s[0, 2] = 1
+                                        keys_s[0, 3] = keys_s[0, 3] + 1
+                                        return
                                     k = scnt[0]
 
                                     @pl.when(k < MAXS)
@@ -722,11 +783,14 @@ def _trav_kernel(
                 return 0
 
             lax.fori_loop(0, NW2, outer, 0, unroll=False)
+            if SPAN > 1:
+                flush_run()  # runs never straddle bucket boundaries
             # by POSITION in emission order (== by bucket iff not reverse;
             # the reverse consumer never reads bstart)
             bstart[pos + 1] = jnp.minimum(scnt[0], MAXS)
         bstart[0] = 0
-        s_surv[0, tile_id] = s_surv[0, tile_id] + scnt[0]
+        s_surv[0, tile_id] = s_surv[0, tile_id] + (
+            keys_s[0, 3] if SPAN > 1 else scnt[0])
         s_pass[0, tile_id] = s_pass[0, tile_id] + 1
         s_ovf[0, tile_id] = s_ovf[0, tile_id] + sovf[0]
 
@@ -829,6 +893,20 @@ def _trav_kernel(
         vb[:, sl] = jnp.where(imp, cv, vb[:, sl])
 
     def dmas(slot, c, with_attrs):
+        # `c` is a CLUSTER id (SPAN == 1) or a packed run entry (SPAN > 1:
+        # start = c >> 3; the whole SPAN-cluster window is fetched in ONE
+        # copy per array — runs shorter than SPAN over-fetch into packc's
+        # zero pad, never processed).
+        if SPAN > 1:
+            start = c >> 3
+            ops = [pltpu.make_async_copy(
+                wtri_hbm.at[pl.ds(start, SPAN)], wscr.at[slot],
+                sems.at[slot, 0])]
+            if with_attrs:
+                ops.append(pltpu.make_async_copy(
+                    attr_hbm.at[pl.ds(start, SPAN)], ascr.at[slot],
+                    sems.at[slot, 1]))
+            return ops
         # TPURT_PROF_DMA_ROWS (stream-stage probe only): fetch that many of
         # the 8 form rows — values are garbage-but-finite (only _consume'd),
         # the BYTES scale proportionally.  Differencing stream-stage times
@@ -849,12 +927,17 @@ def _trav_kernel(
 
     def survivors():
         """Effective survivor count + id lookup; a tile that overflowed the
-        SMEM list degrades to streaming every cluster (correct, slower)."""
+        SMEM list degrades to streaming every cluster (correct, slower).
+        Under SPAN entries are packed (start << 3) | (len-1) runs; the
+        overflow fallback iterates every cluster as a length-1 run."""
         ovf = sovf[0] == 1
         n = jnp.where(ovf, Ccount, jnp.minimum(scnt[0], MAXS))
 
         def sid(j):
-            return jnp.where(ovf, j, slist[jnp.minimum(j, MAXS - 1)])
+            ent = slist[jnp.minimum(j, MAXS - 1)]
+            if SPAN > 1:
+                return jnp.where(ovf, j << 3, ent)
+            return jnp.where(ovf, j, ent)
 
         return n, sid
 
@@ -877,6 +960,37 @@ def _trav_kernel(
                     for op in dmas(ahead % DEPTH, sid(j0 + ahead), with_attrs):
                         op.start()
 
+            def one_cluster(c, wsub, asub, ch_gate=None):
+                """Per-cluster chunk loop (shared by the singleton and
+                span paths); wsub/asub are this cluster's scratch views."""
+                cw = c // 16
+                cb = c % 16
+                if MM3X and PRESTACK:
+                    wblk = wsub.reshape(_MM_SROWS, 6 * LANES)
+                else:
+                    wblk = wsub.reshape(8, 6 * LANES)
+                    if MM3X:
+                        wblk = stack_w(wblk)
+                for ch in range(nch):
+                    bit = (masks[KB + ch, cw] >> cb) & 1
+
+                    @pl.when(bit != 0)
+                    def _(ch=ch):
+                        s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
+                        sl = slice(ch * RCH, (ch + 1) * RCH)
+                        if PROF == "stream":
+                            tb[:, sl] = tb[:, sl] + _consume(wblk, asub)
+                        elif PROF == "mmraw":
+                            out = _mm(wblk, X[:, sl])
+                            tb[:, sl] = tb[:, sl] + _consume(out, asub)
+                        elif PROF == "mm":
+                            tm, u, v = tri_math(wblk, X[:, sl], C.T_MAX)
+                            tb[:, sl] = tb[:, sl] + _consume(
+                                tm, u, v, asub)
+                        else:
+                            tm, u, v = tri_math(wblk, X[:, sl], C.T_MAX)
+                            fold(tm, u, v, asub, sl, iota_ch)
+
             def body(i, _):
                 slot = i % DEPTH
                 c = sid(j0 + i)
@@ -891,37 +1005,16 @@ def _trav_kernel(
 
                 for op in dmas(slot, c, with_attrs):
                     op.wait()
-                cw = c // 16
-                cb = c % 16
-                # chunk-invariant: reshape (+ split stack) once per cluster;
-                # PRESTACK ships the stack pre-built from HBM (r5)
-                if MM3X and PRESTACK:
-                    wblk = wscr[slot].reshape(_MM_SROWS, 6 * LANES)
+                if SPAN > 1:
+                    start = c >> 3
+                    ln = (c & 7) + 1
+                    for j2 in range(SPAN):
+                        @pl.when(j2 < ln)
+                        def _(j2=j2):
+                            one_cluster(start + j2, wscr[slot, j2],
+                                        ascr[slot, j2])
                 else:
-                    wblk = wscr[slot].reshape(8, 6 * LANES)
-                    if MM3X:
-                        wblk = stack_w(wblk)
-                for ch in range(nch):
-                    bit = (masks[KB + ch, cw] >> cb) & 1
-
-                    @pl.when(bit != 0)
-                    def _(ch=ch):
-                        s_chnk[0, tile_id] = s_chnk[0, tile_id] + 1
-                        sl = slice(ch * RCH, (ch + 1) * RCH)
-                        if PROF == "stream":
-                            tb[:, sl] = tb[:, sl] + _consume(
-                                wblk, ascr[slot])
-                        elif PROF == "mmraw":
-                            out = _mm(wblk, X[:, sl])
-                            tb[:, sl] = tb[:, sl] + _consume(
-                                out, ascr[slot])
-                        elif PROF == "mm":
-                            tm, u, v = tri_math(wblk, X[:, sl], C.T_MAX)
-                            tb[:, sl] = tb[:, sl] + _consume(
-                                tm, u, v, ascr[slot])
-                        else:
-                            tm, u, v = tri_math(wblk, X[:, sl], C.T_MAX)
-                            fold(tm, u, v, ascr[slot], sl, iota_ch)
+                    one_cluster(c, wscr[slot], ascr[slot])
                 return 0
 
             lax.fori_loop(0, n_seg, body, 0, unroll=False)
@@ -1121,28 +1214,13 @@ def _trav_kernel(
                         for op in dmas(ahead % DEPTH, sid(j0 + ahead), False):
                             op.start()
 
-                def inner(i, _):
-                    slot = i % DEPTH
-                    c = sid(j0 + i)
-
-                    @pl.when(i + DEPTH - 1 < seg)
-                    def _():
-                        for op in dmas(
-                            (i + DEPTH - 1) % DEPTH,
-                            sid(j0 + i + DEPTH - 1), False,
-                        ):
-                            op.start()
-
-                    for op in dmas(slot, c, False):
-                        op.wait()
+                def one_cluster_ah(c, wsub, live_bits):
                     cw = c // 16
                     cb = c % 16
-                    # chunk-invariant: reshape (+ split stack) per cluster;
-                    # PRESTACK ships the stack pre-built from HBM (r5)
                     if MM3X and PRESTACK:
-                        wblk = wscr[slot].reshape(_MM_SROWS, 6 * LANES)
+                        wblk = wsub.reshape(_MM_SROWS, 6 * LANES)
                     else:
-                        wblk = wscr[slot].reshape(8, 6 * LANES)
+                        wblk = wsub.reshape(8, 6 * LANES)
                         if MM3X:
                             wblk = stack_w(wblk)
                     for ch in range(nch):
@@ -1168,6 +1246,31 @@ def _trav_kernel(
                                 occb[:, sl] = occb[:, sl] | jnp.any(
                                     hit, axis=0, keepdims=True
                                 ).astype(jnp.int32)
+
+                def inner(i, _):
+                    slot = i % DEPTH
+                    c = sid(j0 + i)
+
+                    @pl.when(i + DEPTH - 1 < seg)
+                    def _():
+                        for op in dmas(
+                            (i + DEPTH - 1) % DEPTH,
+                            sid(j0 + i + DEPTH - 1), False,
+                        ):
+                            op.start()
+
+                    for op in dmas(slot, c, False):
+                        op.wait()
+                    if SPAN > 1:
+                        start = c >> 3
+                        ln = (c & 7) + 1
+                        for j2 in range(SPAN):
+                            @pl.when(j2 < ln)
+                            def _(j2=j2):
+                                one_cluster_ah(start + j2, wscr[slot, j2],
+                                               live_bits)
+                    else:
+                        one_cluster_ah(c, wscr[slot], live_bits)
                     return 0
 
                 lax.fori_loop(0, seg, inner, 0, unroll=False)
@@ -1336,8 +1439,14 @@ def _scratch_shapes(C_pad, nch=NCH):
         pltpu.SMEM((1,), jnp.int32),              # sovf (list overflow)
         (pltpu.VMEM((DMA_DEPTH, _MM_SROWS, 6 * LANES), jnp.bfloat16)
          if (MM3X and PRESTACK)
-         else pltpu.VMEM((DMA_DEPTH, 8, 6, LANES), jnp.float32)),  # wscr
-        pltpu.VMEM((DMA_DEPTH, TROWS, LANES), jnp.float32),   # ascr
+         else (pltpu.VMEM((DMA_DEPTH, SPAN, 8, 6, LANES), jnp.float32)
+               if SPAN > 1
+               else pltpu.VMEM((DMA_DEPTH, 8, 6, LANES),
+                               jnp.float32))),                # wscr
+        (pltpu.VMEM((DMA_DEPTH, SPAN, TROWS, LANES), jnp.float32)
+         if SPAN > 1
+         else pltpu.VMEM((DMA_DEPTH, TROWS, LANES),
+                         jnp.float32)),                       # ascr
         pltpu.VMEM((1, RAYS), jnp.float32),       # tb
         pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
         pltpu.VMEM((1, RAYS), jnp.float32),       # ub
