@@ -156,6 +156,10 @@ RUN_STATS = os.environ.get("TPURT_RUN_STATS", "0") != "0"
 #: DMA issues.  Records are bit-identical either way (tested) — the flag
 #: and the probe stay for other scene shapes.
 SPAN = int(os.environ.get("TPURT_SPAN", "1"))
+#: statically unroll the shadow stream's per-block inner loop (NBLK steps
+#: with `i < seg` guards instead of a dynamic fori_loop) — A/B flag for
+#: the sequencing-bound survivor stream
+SHADOW_UNROLL = os.environ.get("TPURT_SHADOW_UNROLL", "0") != "0"
 if SPAN < 1:
     SPAN = 1
 assert SPAN <= 8, SPAN  # 3 len bits in the packed entry; packc pads 8
@@ -1273,7 +1277,16 @@ def _trav_kernel(
                         one_cluster_ah(c, wscr[slot], live_bits)
                     return 0
 
-                lax.fori_loop(0, seg, inner, 0, unroll=False)
+                if SHADOW_UNROLL:
+                    # statically-unrolled NBLK steps with guards: removes
+                    # per-iteration loop control from the scalar core (the
+                    # stream is sequencing-bound; A/B flag)
+                    for i in range(NBLK):
+                        @pl.when(i < seg)
+                        def _(i=i):
+                            inner(i, 0)
+                else:
+                    lax.fori_loop(0, seg, inner, 0, unroll=False)
                 nxt = live_chunk_bits()
                 return (jb + 1, jnp.where(jb + 1 < nb, nxt, 0))
 
