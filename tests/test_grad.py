@@ -267,6 +267,40 @@ def test_vtab_scatter_parts_grads_identical(monkeypatch):
     np.testing.assert_array_equal(gn1, gn2)
 
 
+def test_shade_remat_grads_allclose(monkeypatch):
+    """TPURT_SHADE_REMAT (jax.checkpoint on the shading body — the r5
+    residual-vs-recompute win) must leave gradients allclose on BOTH the
+    compacted and plain paths: remat is mathematically the identity, only
+    refusion rounding may differ."""
+    import numpy as np
+
+    from tpurt.render import prepare, render_and_grad
+    from tpurt.scene import configs
+    from tpurt.shading import deferred as D
+
+    scene, cfg = configs.config4_bunny(24, 24, subdiv=3)
+    plan = prepare(scene, cfg, accel="bvh")
+
+    def grads():
+        (_, _), g = render_and_grad(
+            scene, lambda im: jnp.sum(im ** 2), cfg, plan=plan)
+        return np.asarray(g.vertices), np.asarray(g.materials.kd)
+
+    for compact in (False, True):
+        monkeypatch.setattr(D, "SHADE_COMPACT", compact)
+        monkeypatch.setattr(D, "SHADE_COMPACT_MIN", 1)
+        monkeypatch.setattr(D, "SHADE_REMAT", False)
+        gv0, gk0 = grads()
+        for policy in ("1", "names"):
+            monkeypatch.setattr(D, "SHADE_REMAT", True)
+            monkeypatch.setattr(D, "_SHADE_REMAT_ENV", policy)
+            gv1, gk1 = grads()
+            for a, b in ((gv0, gv1), (gk0, gk1)):
+                assert np.isfinite(b).all()
+                np.testing.assert_allclose(
+                    a, b, rtol=1e-5, atol=1e-6 * max(1.0, np.abs(a).max()))
+
+
 def test_vtab_segsum_grads_allclose(monkeypatch):
     """The Pallas sorted-segsum vertex-table accumulation
     (TPURT_VTAB_SEGSUM, tpurt/kernels/segsum.py) must match the serial

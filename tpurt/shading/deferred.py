@@ -28,7 +28,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax import lax
+from jax import ad_checkpoint, lax
 
 from tpurt import constants as C
 from tpurt.core import geom, vec
@@ -79,6 +79,29 @@ SORTED_SCATTER = os.environ.get("TPURT_SORTED_SCATTER", "0") != "0"
 #: negative result: the two branches' (N, ·) residuals co-allocate and
 #: XLA's remat stops at the cond boundary — config 4 fwdbwd OOM'd the
 #: compiler at 44.7 GB of HBM.  "1"/"0" force on/off.
+#: jax.checkpoint the COMPACTED-shading chunk body: the backward
+#: recomputes the chunk forward instead of loading scan residuals.
+#: MEASURED WIN r5 (the backward was RESIDUAL/FUSION-bound, not
+#: compute-bound): config 5 @1080p fwdbwd 436.2 → 367.6 ms (bwd-extra
+#: 170.7 → 103.1) — the per-iteration residual buffers of the chunk scan
+#: break XLA fusion, and recompute-from-carries fuses clean.  The SAME
+#: trade on the UNcompacted path measured NEGATIVE (config 4 88.7 →
+#: 101.6), so remat applies only inside _shade_compacted.  Gradients
+#: differ only by refusion rounding (allclose; tested).  Default ON.
+#: "names" (the default) additionally SAVES the wide shadepack/texel
+#: gather rows (checkpoint_name 'shade_rows' + save_only_these_names) so
+#: the bwd recomputes the elementwise chains but not the big gathers:
+#: c5 fwdbwd 367.1 → 348.4 ms (bwd-extra 102.8 → 83.8).
+_SHADE_REMAT_ENV = os.environ.get("TPURT_SHADE_REMAT", "names")
+SHADE_REMAT = _SHADE_REMAT_ENV != "0"
+
+
+def _remat_policy():
+    if _SHADE_REMAT_ENV == "names":
+        return jax.checkpoint_policies.save_only_these_names("shade_rows")
+    return None
+
+
 SHADE_COMPACT = os.environ.get("TPURT_SHADE_COMPACT", "auto")
 SHADE_CHUNKS = int(os.environ.get("TPURT_SHADE_CHUNKS", "32"))  # 32 vs 16: c5 fwd 443.3 vs 447.8 ms
 SHADE_COMPACT_MIN = 1 << 17
@@ -487,6 +510,9 @@ def _gather_shaderows(scene, pid, pack, vtab=None, gather_fn=None):
         g = _gather_rows_sorted(pack, pid, order)
     else:
         g = pack[pid]
+    # offerable to the "names" remat policy: the wide row gather is the
+    # expensive-to-recompute part of the chunk body
+    g = ad_checkpoint.checkpoint_name(g, "shade_rows")
     tri_rows = (g[..., 0:3], g[..., 3:6], g[..., 6:9])
     k = 9
     nrm_rows = None
@@ -634,6 +660,7 @@ def _sample_texture_flat(scene, tex_id, uv):
             quad.reshape(nt * th, tw, 12), tid * th + yi, xi)
     else:
         q = quad[tid * (th * tw) + yi * tw + xi]      # (N, 12)
+    q = ad_checkpoint.checkpoint_name(q, "shade_rows")
     col = (
         q[..., 0:3] * (1 - fx) * (1 - fy)
         + q[..., 3:6] * fx * (1 - fy)
@@ -683,6 +710,10 @@ def shade_from_records(
     compact = (gather_fn is None and N >= SHADE_COMPACT_MIN
                and _shade_compact_on(scene.n_tris, N))
     if not compact:
+        # NOTE remat measured NEGATIVE on this uncompacted path (config 4
+        # fwdbwd 88.7 → 101.6 ms): at 74% hit rate the recompute isn't
+        # residual-bound — the win is specific to the chunked scan, whose
+        # per-iteration residual buffers break XLA fusion
         return _shade_bundle(scene, o, d, (recs.prim, recs.is_tri, recs.occ),
                              max_depth, shadows, pack, vtab, matpack,
                              gather_fn)
@@ -735,9 +766,15 @@ def _shade_compacted(scene, o, d, recs, max_depth, shadows, pack, vtab,
         ci, oc, dc, pc, tc, occc = xs
 
         def live(_):
-            return _shade_bundle(scene, oc, dc, (pc, tc != 0, occc),
-                                 max_depth, shadows, pack, vtab, matpack,
-                                 None)
+            fn = lambda: _shade_bundle(  # noqa: E731
+                scene, oc, dc, (pc, tc != 0, occc), max_depth, shadows,
+                pack, vtab, matpack, None)
+            if SHADE_REMAT:
+                # rematerialize the chunk body in the backward instead of
+                # storing scan residuals (design.md item 29); the "names"
+                # policy keeps the wide gather rows saved
+                return jax.checkpoint(fn, policy=_remat_policy())()
+            return fn()
 
         # chunks whose first sorted position is past the last hit are
         # all-miss (or padding): their true color is the constant clipped
