@@ -97,7 +97,7 @@ SHADE_REMAT = _SHADE_REMAT_ENV != "0"
 
 
 def _remat_policy():
-    if _SHADE_REMAT_ENV == "names":
+    if _SHADE_REMAT_ENV in ("names", "outer"):
         return jax.checkpoint_policies.save_only_these_names("shade_rows")
     return None
 
@@ -720,8 +720,17 @@ def shade_from_records(
 
     miss0 = recs.prim[0] < 0
     n_hit = jnp.sum((~miss0).astype(jnp.int32))
-    return _shade_compacted(scene, o, d, recs, max_depth, shadows, pack,
-                            vtab, matpack, miss0, n_hit)
+    fn = lambda: _shade_compacted(  # noqa: E731
+        scene, o, d, recs, max_depth, shadows, pack, vtab, matpack, miss0,
+        n_hit)
+    if _SHADE_REMAT_ENV == "outer":
+        # A/B: ALSO remat the compaction machinery (sort/permute/bij
+        # gathers) around the chunk-level checkpoints
+        return jax.checkpoint(
+            fn,
+            policy=jax.checkpoint_policies.save_only_these_names(
+                "shade_rows"))()
+    return fn()
 
 
 def _shade_compacted(scene, o, d, recs, max_depth, shadows, pack, vtab,
