@@ -70,9 +70,16 @@ assert RAYS in (1024, 2048, 4096), RAYS
 #: finer bits thin the streamed compute.  Both capped at 16 chunk bits
 #: (int32 bit ops in the saturation mask).
 NCH = int(os.environ.get("TPURT_NCH", str(min(RAYS // 256, 16))))
+#: SHADOW-pass tile width (mode 2 only): smaller Morton cells make
+#: tighter light cones (fewer streamed survivors per pass) at the price
+#: of more passes (~9 µs launch floor each).  Must divide RAYS (the
+#: wavefront driver pads hit buffers to RAYS multiples).  A/B knob —
+#: 1024 (= RAYS) is the measured default.
+RAYS_SHADOW = int(os.environ.get("TPURT_RAYS_SHADOW", str(RAYS)))
+assert RAYS % RAYS_SHADOW == 0 and RAYS_SHADOW >= 256, RAYS_SHADOW
 NCH_SHADOW = int(os.environ.get("TPURT_NCH_SHADOW",
-                                str(min(RAYS // 128, 16))))
-assert RAYS % NCH == 0 and RAYS % NCH_SHADOW == 0
+                                str(min(RAYS_SHADOW // 128, 16))))
+assert RAYS % NCH == 0 and RAYS_SHADOW % NCH_SHADOW == 0
 assert NCH <= 16 and NCH_SHADOW <= 16  # int32 bit ops in saturation masks
 #: cluster count above which the wavefront path traces shadows in the
 #: re-binned shadow kernel (measured crossover — see _wavefront_records)
@@ -1442,7 +1449,7 @@ def _trav_kernel(
 # ---------------------------------------------------------------------------
 # pallas_call wrapper + public clustered render path
 # ---------------------------------------------------------------------------
-def _scratch_shapes(C_pad, nch=NCH):
+def _scratch_shapes(C_pad, nch=NCH, rays=RAYS):
     mrows = KB + nch + KB + 1  # +1: bucket-threshold key row
     return [
         pltpu.VMEM((mrows, C_pad // 16), jnp.int32),  # maskv (packed+meta)
@@ -1460,11 +1467,11 @@ def _scratch_shapes(C_pad, nch=NCH):
          if SPAN > 1
          else pltpu.VMEM((DMA_DEPTH, TROWS, LANES),
                          jnp.float32)),                       # ascr
-        pltpu.VMEM((1, RAYS), jnp.float32),       # tb
-        pltpu.VMEM((TROWS, RAYS), jnp.float32),   # ab
-        pltpu.VMEM((1, RAYS), jnp.float32),       # ub
-        pltpu.VMEM((1, RAYS), jnp.float32),       # vb
-        pltpu.VMEM((1, RAYS), jnp.int32),         # occb
+        pltpu.VMEM((1, rays), jnp.float32),       # tb
+        pltpu.VMEM((TROWS, rays), jnp.float32),   # ab
+        pltpu.VMEM((1, rays), jnp.float32),       # ub
+        pltpu.VMEM((1, rays), jnp.float32),       # vb
+        pltpu.VMEM((1, rays), jnp.int32),         # occb
         pltpu.SemaphoreType.DMA((DMA_DEPTH, 2)),  # sems[slot, stream]
         pltpu.SemaphoreType.DMA(()),              # ssem (mask copy)
         pltpu.SMEM((KB + 1,), jnp.int32),         # bstart (bucket bounds)
@@ -1643,18 +1650,19 @@ def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
     sg = jax.lax.stop_gradient
     p, p_off = sg(p), sg(p_off)
     N = p.shape[0]
-    assert N % RAYS == 0, N
-    ntiles = N // RAYS
+    RS = RAYS_SHADOW
+    assert N % RS == 0, N
+    ntiles = N // RS
     C_pad = packed.aabb.shape[1]
     glob = _glob_pad(packed)
     statics = (
         config.height, config.width, 0, True,
         packed.n_clusters, packed.n_sph_blocks, packed.n_lights,
-        packed.n_tris, RAYS, 1, 2,
+        packed.n_tris, RS, 1, 2,
     )
-    nlive_tiles = ((n_live + RAYS - 1) // RAYS).astype(jnp.int32).reshape(1, 1)
+    nlive_tiles = ((n_live + RS - 1) // RS).astype(jnp.int32).reshape(1, 1)
     row = lambda x: x.reshape(1, N)                          # noqa: E731
-    ray_spec = pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM)
+    ray_spec = pl.BlockSpec((1, RS), lambda t: (0, t), memory_space=pltpu.VMEM)
     occ, s_surv, s_pass, s_ovf, s_strm, s_chnk = pl.pallas_call(
         functools.partial(_trav_kernel, statics=statics),
         grid=(ntiles,),
@@ -1670,7 +1678,7 @@ def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[
-            pl.BlockSpec((1, RAYS), lambda t: (0, t), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, RS), lambda t: (0, t), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1685,7 +1693,7 @@ def trace_shadows(packed: PackedClusters, config, p, p_off, alive, n_live):
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
             jax.ShapeDtypeStruct((1, ntiles), jnp.int32),
         ],
-        scratch_shapes=_scratch_shapes(C_pad, NCH_SHADOW),
+        scratch_shapes=_scratch_shapes(C_pad, NCH_SHADOW, RS),
         interpret=_interpret(),
     )(nlive_tiles, glob, packed.wsph, packed.sattr, packed.aabb,
       row(p[:, 0]), row(p[:, 1]), row(p[:, 2]),
